@@ -1,0 +1,1 @@
+from legoslam_tpu.geometry import se3, camera, triangulation  # noqa: F401

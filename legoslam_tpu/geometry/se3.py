@@ -1,0 +1,195 @@
+"""Batched SE(3) / SO(3) operations in pure JAX.
+
+The reference stores poses as Sophus `SE3` objects and updates them by
+left-multiplicative tangent increments ``T <- Exp(delta) * T``
+(reference: include/legoslam/lego_types.h:61-91).  Here a pose is a plain
+``(..., 4, 4)`` array (row-major homogeneous transform, camera-from-world
+``T_cw`` throughout the pipeline) and the tangent is ``(..., 6)`` ordered
+``[rho, phi]`` (translation part first), matching Sophus' convention so the
+reference's analytic reprojection Jacobians carry over unchanged.
+
+All functions broadcast over leading batch dimensions, preserve the input
+dtype, and are safe under ``jit``/``vmap`` (small-angle branches use masked
+`where`, not data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Below this rotation angle (radians) the Taylor expansions of the Rodrigues /
+# left-Jacobian coefficient functions are used instead of the trig forms.
+_SMALL_ANGLE = 1e-6
+
+
+def hat(w: jnp.ndarray) -> jnp.ndarray:
+    """Skew-symmetric matrix of ``(..., 3)`` vectors -> ``(..., 3, 3)``."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zero = jnp.zeros_like(wx)
+    rows = [
+        jnp.stack([zero, -wz, wy], axis=-1),
+        jnp.stack([wz, zero, -wx], axis=-1),
+        jnp.stack([-wy, wx, zero], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def _rot_coeffs(theta_sq: jnp.ndarray):
+    """Rodrigues coefficients A = sin t / t, B = (1 - cos t)/t^2, C = (t - sin t)/t^3.
+
+    Computed from theta^2 with small-angle Taylor fallbacks so gradients and
+    values stay finite at theta == 0.
+    """
+    theta = jnp.sqrt(theta_sq)
+    small = theta_sq < _SMALL_ANGLE**2
+    # Guard the denominators; the guarded lanes are overwritten by `where`.
+    safe = jnp.where(small, jnp.ones_like(theta), theta)
+    sin_t, cos_t = jnp.sin(safe), jnp.cos(safe)
+    a = jnp.where(small, 1.0 - theta_sq / 6.0, sin_t / safe)
+    b = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - cos_t) / (safe * safe))
+    c = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0, (safe - sin_t) / (safe**3))
+    return a, b, c
+
+
+def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
+    """Exponential map so(3) -> SO(3) for ``(..., 3)`` -> ``(..., 3, 3)``."""
+    theta_sq = jnp.sum(phi * phi, axis=-1)
+    a, b, _ = _rot_coeffs(theta_sq)
+    K = hat(phi)
+    KK = K @ K
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
+    return eye + a[..., None, None] * K + b[..., None, None] * KK
+
+
+def so3_log(R: jnp.ndarray) -> jnp.ndarray:
+    """Log map SO(3) -> so(3) for ``(..., 3, 3)`` -> ``(..., 3)``.
+
+    Accurate for angles in [0, pi); the pipeline only takes logs of relative
+    transforms between nearby keyframes (reference: src/map.cpp:43), so the
+    near-pi branch uses the stable symmetric-part formula.
+    """
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    # Antisymmetric part -> axis * sin(theta)
+    w = 0.5 * jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    small = theta < _SMALL_ANGLE
+    safe = jnp.where(small, jnp.ones_like(theta), theta)
+    sin_t = jnp.sin(safe)
+    # theta / sin(theta), with Taylor 1 + t^2/6 near 0.
+    scale = jnp.where(small, 1.0 + theta * theta / 6.0, safe / sin_t)
+    phi = scale[..., None] * w
+    # Near pi, sin(theta) -> 0 and the antisymmetric part loses the axis;
+    # recover it from the diagonal of the symmetric part.
+    near_pi = cos_t < -1.0 + 1e-6
+    diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
+    axis_sq = jnp.clip((diag - cos_t[..., None]) / (1.0 - cos_t[..., None] + 1e-12), 0.0, None)
+    axis = jnp.sqrt(axis_sq)
+    # Fix signs from the off-diagonal antisymmetric part.
+    axis = axis * jnp.where(w >= 0, 1.0, -1.0)
+    phi_pi = axis * theta[..., None]
+    return jnp.where(near_pi[..., None], phi_pi, phi)
+
+
+def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """Exponential map se(3) -> SE(3): ``(..., 6)`` [rho, phi] -> ``(..., 4, 4)``."""
+    rho, phi = xi[..., :3], xi[..., 3:]
+    theta_sq = jnp.sum(phi * phi, axis=-1)
+    a, b, c = _rot_coeffs(theta_sq)
+    K = hat(phi)
+    KK = K @ K
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
+    R = eye + a[..., None, None] * K + b[..., None, None] * KK
+    V = eye + b[..., None, None] * K + c[..., None, None] * KK
+    t = jnp.einsum("...ij,...j->...i", V, rho)
+    return _rt_to_mat(R, t)
+
+
+def se3_log(T: jnp.ndarray) -> jnp.ndarray:
+    """Log map SE(3) -> se(3): ``(..., 4, 4)`` -> ``(..., 6)`` [rho, phi]."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    phi = so3_log(R)
+    theta_sq = jnp.sum(phi * phi, axis=-1)
+    a, b, _ = _rot_coeffs(theta_sq)
+    K = hat(phi)
+    KK = K @ K
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), K.shape)
+    # V^{-1} = I - K/2 + coeff * K^2,  coeff = (1 - A/(2B)) / theta^2
+    small = theta_sq < _SMALL_ANGLE**2
+    safe = jnp.where(small, jnp.ones_like(theta_sq), theta_sq)
+    coeff = jnp.where(small, 1.0 / 12.0 + theta_sq / 720.0, (1.0 - a / (2.0 * b)) / safe)
+    V_inv = eye - 0.5 * K + coeff[..., None, None] * KK
+    rho = jnp.einsum("...ij,...j->...i", V_inv, t)
+    return jnp.concatenate([rho, phi], axis=-1)
+
+
+def se3_inv(T: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``(..., 4, 4)`` rigid transforms without a general solve."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    Rt = jnp.swapaxes(R, -1, -2)
+    return _rt_to_mat(Rt, -jnp.einsum("...ij,...j->...i", Rt, t))
+
+
+def _rt_to_mat(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Assemble ``(..., 4, 4)`` from rotation ``(..., 3, 3)`` and translation."""
+    top = jnp.concatenate([R, t[..., :, None]], axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def transform(T: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Apply ``(..., 4, 4)`` transforms to ``(..., 3)`` points."""
+    return jnp.einsum("...ij,...j->...i", T[..., :3, :3], p) + T[..., :3, 3]
+
+
+def identity(dtype=jnp.float32) -> jnp.ndarray:
+    return jnp.eye(4, dtype=dtype)
+
+
+def retract(T: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Left-multiplicative manifold update ``Exp(delta) @ T``.
+
+    Matches the reference's `VertexPose::add` (lego_types.h:61-91), including
+    its NaN/Inf guard: a non-finite update leaves the pose unchanged.
+    """
+    finite = jnp.all(jnp.isfinite(delta), axis=-1)
+    delta = jnp.where(finite[..., None], delta, jnp.zeros_like(delta))
+    return se3_exp(delta) @ T
+
+
+def rot_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrices ``(..., 3, 3)`` -> unit quaternions ``(..., 4)`` (x, y, z, w).
+
+    Branch-free Shepperd-style selection of the numerically largest component,
+    used for TUM-format trajectory export.
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    # Four candidate quaternions from the four diagonal pivots.
+    qw = jnp.stack([1.0 + tr, 1.0 + m00 - m11 - m22, 1.0 + m11 - m00 - m22, 1.0 + m22 - m00 - m11], axis=-1)
+    qw = jnp.sqrt(jnp.clip(qw, 1e-12, None)) * 0.5
+    w0, x1, y2, z3 = qw[..., 0], qw[..., 1], qw[..., 2], qw[..., 3]
+    cand = jnp.stack(
+        [
+            jnp.stack([(m21 - m12) / (4 * w0), (m02 - m20) / (4 * w0), (m10 - m01) / (4 * w0), w0], axis=-1),
+            jnp.stack([x1, (m01 + m10) / (4 * x1), (m02 + m20) / (4 * x1), (m21 - m12) / (4 * x1)], axis=-1),
+            jnp.stack([(m01 + m10) / (4 * y2), y2, (m12 + m21) / (4 * y2), (m02 - m20) / (4 * y2)], axis=-1),
+            jnp.stack([(m02 + m20) / (4 * z3), (m12 + m21) / (4 * z3), z3, (m10 - m01) / (4 * z3)], axis=-1),
+        ],
+        axis=-2,
+    )
+    pivot = jnp.argmax(jnp.stack([tr, m00, m11, m22], axis=-1), axis=-1)
+    q = jnp.take_along_axis(cand, pivot[..., None, None].repeat(4, axis=-1), axis=-2)[..., 0, :]
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
