@@ -18,8 +18,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 # Below this rotation angle (radians) the Taylor expansions of the Rodrigues /
-# left-Jacobian coefficient functions are used instead of the trig forms.
-_SMALL_ANGLE = 1e-6
+# left-Jacobian coefficient functions are used instead of the trig forms.  The
+# threshold is sized for float32: the 4th-order Taylor error at 0.05 rad is
+# ~1e-10 (below fp32 eps), while the trig forms are already stable there
+# thanks to the half-angle formulations below.
+_SMALL_ANGLE = 0.05
 
 
 def hat(w: jnp.ndarray) -> jnp.ndarray:
@@ -37,17 +40,22 @@ def hat(w: jnp.ndarray) -> jnp.ndarray:
 def _rot_coeffs(theta_sq: jnp.ndarray):
     """Rodrigues coefficients A = sin t / t, B = (1 - cos t)/t^2, C = (t - sin t)/t^3.
 
-    Computed from theta^2 with small-angle Taylor fallbacks so gradients and
-    values stay finite at theta == 0.
+    Float32-stable: B uses the half-angle form 0.5 * (sin(t/2)/(t/2))^2,
+    avoiding the catastrophic 1 - cos(t) cancellation, and C uses
+    (1 - sinc t)/t^2 whose single subtraction is O(t^2)-sized — safe above
+    the 0.05 rad threshold where t^2 >> fp32 eps.  Below it, 4th-order Taylor.
     """
     theta = jnp.sqrt(theta_sq)
     small = theta_sq < _SMALL_ANGLE**2
     # Guard the denominators; the guarded lanes are overwritten by `where`.
     safe = jnp.where(small, jnp.ones_like(theta), theta)
-    sin_t, cos_t = jnp.sin(safe), jnp.cos(safe)
-    a = jnp.where(small, 1.0 - theta_sq / 6.0, sin_t / safe)
-    b = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - cos_t) / (safe * safe))
-    c = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0, (safe - sin_t) / (safe**3))
+    half = 0.5 * safe
+    sinc = jnp.sin(safe) / safe
+    sinc_half = jnp.sin(half) / half
+    t2, t4 = theta_sq, theta_sq * theta_sq
+    a = jnp.where(small, 1.0 - t2 / 6.0 + t4 / 120.0, sinc)
+    b = jnp.where(small, 0.5 - t2 / 24.0 + t4 / 720.0, 0.5 * sinc_half * sinc_half)
+    c = jnp.where(small, 1.0 / 6.0 - t2 / 120.0 + t4 / 5040.0, (1.0 - sinc) / (safe * safe))
     return a, b, c
 
 
@@ -118,14 +126,22 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     t = T[..., :3, 3]
     phi = so3_log(R)
     theta_sq = jnp.sum(phi * phi, axis=-1)
-    a, b, _ = _rot_coeffs(theta_sq)
     K = hat(phi)
     KK = K @ K
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), K.shape)
-    # V^{-1} = I - K/2 + coeff * K^2,  coeff = (1 - A/(2B)) / theta^2
+    # V^{-1} = I - K/2 + coeff * K^2,  coeff = (1 - (t/2) cot(t/2)) / t^2.
+    # Float32-stable: 1 - (t/2)cot(t/2) is O(t^2/12), so the subtraction is
+    # safe above the small-angle threshold; Taylor below it.
+    theta = jnp.sqrt(theta_sq)
     small = theta_sq < _SMALL_ANGLE**2
-    safe = jnp.where(small, jnp.ones_like(theta_sq), theta_sq)
-    coeff = jnp.where(small, 1.0 / 12.0 + theta_sq / 720.0, (1.0 - a / (2.0 * b)) / safe)
+    safe = jnp.where(small, jnp.ones_like(theta), theta)
+    half = 0.5 * safe
+    half_cot = half * jnp.cos(half) / jnp.sin(half)
+    coeff = jnp.where(
+        small,
+        1.0 / 12.0 + theta_sq / 720.0,
+        (1.0 - half_cot) / (safe * safe),
+    )
     V_inv = eye - 0.5 * K + coeff[..., None, None] * KK
     rho = jnp.einsum("...ij,...j->...i", V_inv, t)
     return jnp.concatenate([rho, phi], axis=-1)

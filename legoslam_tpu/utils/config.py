@@ -50,7 +50,7 @@ DEFAULTS: Dict[str, Any] = {
     # --- solver (problem.cpp:470-581) ---
     "lm_strategy": "default",      # "default" (Nielsen) | "strategy1"
     "lm_tau": 1e-5,
-    "lm_diff_chi_threshold": 1e-6,  # problem.h default diffChiThreshold_
+    "lm_diff_chi_threshold": 1e-5,  # problem.h:165 diffChiThreshold_
     "lm_false_cnt_threshold": 10,
     "linear_solver": "cholesky",   # "cholesky" | "pcg" (problem.cpp:584-614)
     # --- capacities (TPU fixed-shape world model; no reference analogue) ---

@@ -69,6 +69,16 @@ def test_retract_nan_guard(rng):
     assert not np.allclose(out[2], np.asarray(T[2]))
 
 
+def test_log_small_angles_fp32():
+    """Float32 log must stay accurate for tiny relative transforms (the ATE
+    error path takes logs of near-identity matrices)."""
+    for theta in [1e-4, 1e-3, 1e-2, 0.04, 0.06, 0.3]:
+        xi = jnp.asarray([0.01, -0.02, 0.005, theta, 0.0, 0.0], jnp.float32)
+        back = np.asarray(se3.se3_log(se3.se3_exp(xi[None])))[0]
+        assert np.all(np.isfinite(back))
+        np.testing.assert_allclose(back, np.asarray(xi), rtol=2e-3, atol=2e-6)
+
+
 def test_log_near_pi():
     axis = np.array([0.3, -0.5, 0.8])
     axis = axis / np.linalg.norm(axis)
