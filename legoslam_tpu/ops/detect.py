@@ -111,8 +111,12 @@ def detect(
 
     # Quality gate relative to the strongest corner (OpenCV semantics).
     thr = cfg.quality_level * jnp.max(resp)
-    # NMS: strict local maxima within the min-distance window.
-    nms = resp >= _maxpool(resp, 2 * cfg.min_distance + 1)
+    # NMS: local maxima within half the min-distance radius.  OpenCV's greedy
+    # pass suppresses only around already-*selected* (stronger) corners, so a
+    # strict local-max test over the full (2*min_distance+1) window would be
+    # far more restrictive than the reference detector; the half-radius
+    # window preserves its spatial spread while staying a single max-pool.
+    nms = resp >= _maxpool(resp, cfg.min_distance + 1)
     resp = jnp.where(nms & (resp > thr) & jnp.isfinite(resp), resp, -jnp.inf)
 
     vals, idx = jax.lax.top_k(resp.reshape(-1), cfg.max_corners)

@@ -1,0 +1,193 @@
+"""Backend: sliding-window bundle adjustment over the active map.
+
+Re-designs `Backend` (src/backend_lego.cpp, include/legoslam/backend.h).  The
+reference runs a dedicated thread that wakes on a condition variable,
+snapshots the active keyframes/landmarks under the map mutex, optimizes, and
+writes results back through per-object locks.  Here the whole cycle is one
+pure function `ba_step(map) -> (map', stats)` over the fixed-shape world
+state: snapshot is free (functional state), the graph is built by masked
+gathers, and write-back is a scatter — scheduling (when to run, on which
+device, overlapped how) is the caller's concern (pipeline/visual_odometry.py
+runs it in dispatch order; parallel/dist_ba.py shards it across a mesh).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from legoslam_tpu.geometry.camera import StereoRig
+from legoslam_tpu.solver import lm as lm_ops
+from legoslam_tpu.solver import reprojection, robust, schur
+from legoslam_tpu.pipeline.frontend import FrontendConfig, _intr
+from legoslam_tpu.pipeline.state import WorldMap
+
+
+class BAConfig(NamedTuple):
+    iterations: int = 10          # problem.solve(10), backend_lego.cpp:161
+    chi2_threshold: float = 5.991
+    max_chi2_doublings: int = 5   # backend_lego.cpp:166
+    inlier_ratio: float = 0.5
+    strategy: str = "default"
+
+
+class BAStats(NamedTuple):
+    chi: jnp.ndarray
+    iterations: jnp.ndarray
+    n_outlier: jnp.ndarray
+    n_inlier: jnp.ndarray
+    n_active_landmarks: jnp.ndarray
+    n_dropped_landmarks: jnp.ndarray  # active landmarks beyond capacity (not optimized)
+
+
+class BAProblem(NamedTuple):
+    """A BA problem extracted from the world state (device arrays only)."""
+
+    graph: schur.BAGraph
+    poses: jnp.ndarray        # (KW, 4, 4)
+    points: jnp.ndarray       # (LA, 3)
+    active_ids: jnp.ndarray   # (LA,) global landmark ids (-1 = empty slot)
+
+
+def build_problem(cfg: FrontendConfig, rig: StereoRig, wmap: WorldMap) -> Tuple[BAProblem, jnp.ndarray]:
+    """Snapshot the active window into a `schur.BAGraph`.
+
+    Mirrors the graph built in Backend::Optimize (backend_lego.cpp:63-158):
+    one pose vertex per active keyframe, one landmark vertex per active
+    landmark, and one projection edge per registered observation, with the
+    left/right extrinsic chosen per observation.  Fixed shapes: pose index =
+    window slot, landmark index = slot in a compacted active-landmark table.
+    """
+    caps = cfg.caps
+    KW, NF, LA = caps.window, caps.max_features, caps.active_landmarks
+
+    (active_ids,) = jnp.nonzero(wmap.lm_active, size=LA, fill_value=-1)
+    point_valid = active_ids >= 0
+    points = wmap.lm_pos[jnp.maximum(active_ids, 0)]
+    n_active = jnp.sum(wmap.lm_active.astype(jnp.int32))
+    n_dropped = jnp.maximum(n_active - LA, 0)
+
+    # Inverse map: global landmark id -> active slot (-1 if not active/overflow).
+    inv = jnp.full((caps.landmarks,), -1, jnp.int32)
+    inv = inv.at[jnp.maximum(active_ids, 0)].set(
+        jnp.where(point_valid, jnp.arange(LA, dtype=jnp.int32), inv[jnp.maximum(active_ids, 0)])
+    )
+
+    lm_flat = wmap.kf_lm.reshape(-1)
+    slot_flat = inv[jnp.maximum(lm_flat, 0)]
+    kf_ok = jnp.repeat(wmap.kf_valid, NF)
+    base_ok = kf_ok & (lm_flat >= 0) & (slot_flat >= 0)
+
+    e_pose = jnp.tile(jnp.repeat(jnp.arange(KW, dtype=jnp.int32), NF), 2)
+    e_point = jnp.tile(jnp.maximum(slot_flat, 0), 2)
+    e_cam = jnp.repeat(jnp.arange(2, dtype=jnp.int32), KW * NF)
+    e_uv = jnp.concatenate([wmap.kf_uv.reshape(-1, 2), wmap.kf_uv_r.reshape(-1, 2)])
+    e_valid = jnp.concatenate(
+        [base_ok & wmap.kf_obs_left.reshape(-1), base_ok & wmap.kf_obs_right.reshape(-1)]
+    )
+
+    graph = schur.BAGraph(
+        e_pose=e_pose,
+        e_point=e_point,
+        e_cam=e_cam,
+        e_uv=e_uv,
+        e_valid=e_valid,
+        exts=jnp.stack([rig.left.pose, rig.right.pose]),
+        intr=_intr(rig),
+        pose_fixed=~wmap.kf_valid,
+        point_valid=point_valid,
+    )
+    problem = BAProblem(graph=graph, poses=wmap.kf_pose, points=points, active_ids=active_ids)
+    return problem, jnp.stack([n_active, n_dropped])
+
+
+def adaptive_chi2_threshold(
+    chis: jnp.ndarray, e_valid: jnp.ndarray, ba_cfg: BAConfig
+) -> jnp.ndarray:
+    """Double the chi2 outlier threshold until the inlier ratio exceeds 0.5,
+    at most max_chi2_doublings times (backend_lego.cpp:164-184)."""
+    n_valid = jnp.sum(e_valid.astype(jnp.int32))
+
+    def cond(c):
+        th, it = c
+        n_in = jnp.sum((e_valid & (chis <= th)).astype(jnp.int32))
+        ratio = n_in.astype(chis.dtype) / jnp.maximum(n_valid, 1).astype(chis.dtype)
+        return (ratio <= ba_cfg.inlier_ratio) & (it < ba_cfg.max_chi2_doublings)
+
+    def body(c):
+        th, it = c
+        return th * 2.0, it + 1
+
+    th, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(ba_cfg.chi2_threshold, chis.dtype), jnp.asarray(0, jnp.int32))
+    )
+    return th
+
+
+def ba_step(
+    cfg: FrontendConfig,
+    rig: StereoRig,
+    wmap: WorldMap,
+    ba_cfg: BAConfig = BAConfig(),
+    solve_fn=None,
+) -> Tuple[WorldMap, BAStats]:
+    """One full backend cycle: snapshot -> LM solve -> adaptive outlier
+    rejection -> observation removal -> write-back (Backend::Optimize,
+    backend_lego.cpp:56-218).
+
+    `solve_fn(graph, poses, points) -> (BAState, LMResult)` can be injected to
+    swap the single-chip solver for the mesh-sharded one (parallel/dist_ba.py).
+    """
+    problem, counts = build_problem(cfg, rig, wmap)
+    lm_cfg = lm_ops.LMConfig(iterations=ba_cfg.iterations, strategy=ba_cfg.strategy)
+    if solve_fn is None:
+        state, res = lm_ops.solve_ba(
+            problem.graph, problem.poses, problem.points,
+            kernel=robust.HUBER, delta=ba_cfg.chi2_threshold, cfg=lm_cfg,
+        )
+    else:
+        state, res = solve_fn(problem.graph, problem.poses, problem.points, lm_cfg)
+
+    # Outlier classification at the optimized state (robust chi2 per edge).
+    chis = schur.edge_chi2(problem.graph, state.poses, state.points, robust.HUBER, ba_cfg.chi2_threshold)
+    e_valid = schur.edge_mask(problem.graph)
+    th = adaptive_chi2_threshold(chis, e_valid, ba_cfg)
+    outlier_edge = e_valid & (chis > th)
+    n_out = jnp.sum(outlier_edge.astype(jnp.int32))
+    n_in = jnp.sum(e_valid.astype(jnp.int32)) - n_out
+
+    # Remove outlier observations (backend_lego.cpp:186-194): clear the obs
+    # flag and decrement the landmark's observation count.
+    KW, NF = cfg.caps.window, cfg.caps.max_features
+    out_l = outlier_edge[: KW * NF].reshape(KW, NF)
+    out_r = outlier_edge[KW * NF :].reshape(KW, NF)
+    lm_idx = jnp.maximum(wmap.kf_lm, 0)
+    dec = out_l.astype(jnp.int32) + out_r.astype(jnp.int32)
+    lm_obs = wmap.lm_obs.at[lm_idx.reshape(-1)].add(-dec.reshape(-1))
+
+    # Write back optimized poses and landmark positions (backend_lego.cpp:198-217).
+    pv = problem.graph.point_valid
+    ids = jnp.maximum(problem.active_ids, 0)
+    lm_pos = wmap.lm_pos.at[ids].set(
+        jnp.where(pv[:, None], state.points, wmap.lm_pos[ids])
+    )
+    kf_pose = jnp.where(wmap.kf_valid[:, None, None], state.poses, wmap.kf_pose)
+
+    wmap = wmap._replace(
+        kf_pose=kf_pose,
+        lm_pos=lm_pos,
+        lm_obs=lm_obs,
+        kf_obs_left=wmap.kf_obs_left & ~out_l,
+        kf_obs_right=wmap.kf_obs_right & ~out_r,
+    )
+    stats = BAStats(
+        chi=res.chi,
+        iterations=res.iterations,
+        n_outlier=n_out,
+        n_inlier=n_in,
+        n_active_landmarks=counts[0],
+        n_dropped_landmarks=counts[1],
+    )
+    return wmap, stats

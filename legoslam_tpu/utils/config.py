@@ -38,6 +38,13 @@ DEFAULTS: Dict[str, Any] = {
     "klt_pyramid_scale": 0.5,
     "klt_inverse": False,          # frontend_g2o.cpp:473: forward mode default
     "klt_eps": 1e-2,
+    # forward-backward verification (no reference analogue; 0 disables)
+    "stereo_fb_threshold": 0.6,
+    "track_fb_threshold": 0.8,
+    "stereo_matcher": "scanline",  # "scanline" | "klt" (reference behavior)
+    "max_keyframe_gap": 5,         # force a keyframe after N frames (no reference analogue)
+    "track_mode": "anchored",      # "anchored" | "frame" (reference behavior)
+    "track_min_zncc": 0.5,
     # --- pose estimation (frontend_g2o.cpp:199-204) ---
     "pose_outer_iterations": 4,
     "pose_solver_iterations": 10,

