@@ -296,3 +296,31 @@ class VisualOdometry:
 
     def num_keyframes(self) -> int:
         return int(self.carry.wmap.num_keyframes()) if self.carry is not None else 0
+
+    # --- export / visualization ---
+    def save_trajectory(self, path: str, fmt: str = "kitti") -> None:
+        from legoslam_tpu.utils import evaluation
+
+        T_wc = self.trajectory_T_wc()
+        if fmt == "tum":
+            evaluation.save_tum_trajectory(path, [float(i) for i in self.frame_ids], T_wc)
+        else:
+            evaluation.save_kitti_trajectory(path, T_wc)
+
+    def save_visualization(self, out_dir: str, ground_truth=None, last_frame=None):
+        """Render the reference viewer's artifacts headlessly (pipeline/viewer.py)."""
+        from legoslam_tpu.pipeline.viewer import Viewer
+
+        viewer = Viewer()
+        for o in self.outputs:
+            viewer.add_current_frame(np.asarray(o.T_cw))
+        if self.carry is not None:
+            viewer.update_map(
+                self.carry.wmap.kf_pose, self.carry.wmap.kf_valid,
+                self.carry.wmap.lm_pos, self.carry.wmap.lm_alive,
+            )
+            if last_frame is not None:
+                viewer.last_frame_img = last_frame
+                feats = self.carry.feats
+                viewer.last_features = np.asarray(feats.uv)[np.asarray(feats.valid)]
+        return viewer.save(out_dir, ground_truth=ground_truth)
