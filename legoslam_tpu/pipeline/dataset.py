@@ -55,11 +55,18 @@ def _nearest_half(img: np.ndarray) -> np.ndarray:
 
 
 class KittiDataset:
-    """KITTI odometry sequence reader (`Dataset`, src/dataset.cpp)."""
+    """KITTI odometry sequence reader (`Dataset`, src/dataset.cpp).
 
-    def __init__(self, dataset_dir: str, scale: float = 0.5):
+    Decoding prefers the native prefetching loader (legoslam_tpu/native):
+    worker threads decode + downsample PNG pairs ahead of the consumer so
+    host I/O overlaps device compute; cv2/PIL serve as fallbacks.
+    """
+
+    def __init__(self, dataset_dir: str, scale: float = 0.5, use_native: bool = True):
         self.dataset_dir = dataset_dir
         self.scale = scale
+        self.use_native = use_native
+        self._native = None
         self.rig: Optional[StereoRig] = None
         self.current_index = 0
         self.ground_truth: Optional[np.ndarray] = None  # (N, 4, 4) T_wc if available
@@ -81,6 +88,17 @@ class KittiDataset:
         self.rig = StereoRig.from_kitti_projections(projections[0], projections[1], scale=self.scale)
         self.current_index = 0
         self._load_ground_truth()
+        if self.use_native and self.scale in (0.5, 1.0):
+            try:
+                from legoslam_tpu.native import loader as native_loader
+
+                if native_loader.available():
+                    self._native = native_loader.PrefetchLoader(
+                        self.dataset_dir, half=self.scale == 0.5
+                    )
+                    log.info("using native prefetch loader")
+            except Exception as e:
+                log.warning("native loader unavailable (%s); falling back to cv2/PIL", e)
         return True
 
     def _load_ground_truth(self) -> None:
@@ -99,6 +117,13 @@ class KittiDataset:
 
     def next_frame(self) -> Optional[StereoFrame]:
         """Dataset::NextFrame (dataset.cpp:53-86): None at end of sequence."""
+        if self._native is not None:
+            out = self._native.next()
+            if out is None:
+                return None
+            idx, left, right = out
+            self.current_index = idx + 1
+            return StereoFrame(idx, left, right)
         idx = self.current_index
         paths = [
             os.path.join(self.dataset_dir, f"image_{c}", f"{idx:06d}.png") for c in (0, 1)
