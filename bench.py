@@ -76,6 +76,16 @@ def load_frames(ds):
 
 def main():
     import jax
+
+    # Persistent compilation cache: the fused frame step is a large program;
+    # repeat runs (driver re-benches every round) skip the multi-minute compile.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/legoslam_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"bench: compilation cache unavailable: {e}")
+
     import jax.numpy as jnp
 
     from legoslam_tpu.pipeline import frontend as frontend_mod
