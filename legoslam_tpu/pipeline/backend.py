@@ -70,10 +70,11 @@ def build_problem(cfg: FrontendConfig, rig: StereoRig, wmap: WorldMap) -> Tuple[
     n_dropped = jnp.maximum(n_active - LA, 0)
 
     # Inverse map: global landmark id -> active slot (-1 if not active/overflow).
-    inv = jnp.full((caps.landmarks,), -1, jnp.int32)
-    inv = inv.at[jnp.maximum(active_ids, 0)].set(
-        jnp.where(point_valid, jnp.arange(LA, dtype=jnp.int32), inv[jnp.maximum(active_ids, 0)])
-    )
+    # Empty table slots scatter into a scratch entry (index ML) so they cannot
+    # clobber a real landmark's entry.
+    inv = jnp.full((caps.landmarks + 1,), -1, jnp.int32)
+    write_idx = jnp.where(point_valid, active_ids, caps.landmarks)
+    inv = inv.at[write_idx].set(jnp.arange(LA, dtype=jnp.int32))[: caps.landmarks]
 
     lm_flat = wmap.kf_lm.reshape(-1)
     slot_flat = inv[jnp.maximum(lm_flat, 0)]

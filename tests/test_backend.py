@@ -1,0 +1,98 @@
+"""Backend unit tests: graph snapshot, adaptive chi2, outlier removal,
+write-back (Backend::Optimize semantics, src/backend_lego.cpp:56-218)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from legoslam_tpu.ops import pyramid as pyr_ops
+from legoslam_tpu.pipeline import backend as backend_mod
+from legoslam_tpu.pipeline import frontend as frontend_mod
+from legoslam_tpu.pipeline.state import WorldMap
+from tests.test_pipeline import make_dataset, small_cfg
+
+
+@pytest.fixture(scope="module")
+def init_state():
+    ds = make_dataset(n_frames=2)
+    ds.init()
+    fr = ds.next_frame()
+    cfg = small_cfg()
+    img_l, img_r = jnp.asarray(fr.left), jnp.asarray(fr.right)
+    pyr_l = tuple(pyr_ops.build_pyramid(img_l, cfg.klt.levels))
+    pyr_r = tuple(pyr_ops.build_pyramid(img_r, cfg.klt.levels))
+    ok, feats, wmap = frontend_mod.stereo_init(
+        cfg, ds.rig, pyr_l, pyr_r, img_l, WorldMap.empty(cfg.caps), jnp.asarray(0, jnp.int32)
+    )
+    assert bool(ok)
+    return ds, cfg, feats, wmap
+
+
+def test_build_problem_shapes_and_masks(init_state):
+    ds, cfg, feats, wmap = init_state
+    problem, counts = backend_mod.build_problem(cfg, ds.rig, wmap)
+    E = 2 * cfg.caps.window * cfg.caps.max_features
+    assert problem.graph.e_uv.shape == (E, 2)
+    n_valid = int(jnp.sum(problem.graph.e_valid))
+    n_active = int(counts[0])
+    # init registers a left + right observation per born landmark
+    assert n_valid == 2 * n_active, (n_valid, n_active)
+    assert int(counts[1]) == 0  # nothing dropped
+    # pose 0 is the only valid keyframe slot
+    assert bool(problem.graph.pose_fixed[jnp.argmin(wmap.kf_valid)])
+
+
+def test_adaptive_chi2_doubles_until_ratio():
+    chis = jnp.asarray([1.0] * 4 + [100.0] * 6, jnp.float32)
+    valid = jnp.ones(10, bool)
+    cfg = backend_mod.BAConfig(chi2_threshold=5.991)
+    th = float(backend_mod.adaptive_chi2_threshold(chis, valid, cfg))
+    # inlier ratio at 5.991 is 0.4 <= 0.5 -> double until 100s become inliers
+    # (or the 5-doubling cap hits: 5.991 * 2^5 = 191.7)
+    assert th > 5.991
+    n_in = int(jnp.sum(chis <= th))
+    assert n_in == 10 or th == pytest.approx(5.991 * 32)
+
+
+def test_adaptive_chi2_keeps_threshold_when_ratio_good():
+    chis = jnp.asarray([1.0] * 9 + [100.0], jnp.float32)
+    th = float(backend_mod.adaptive_chi2_threshold(chis, jnp.ones(10, bool), backend_mod.BAConfig()))
+    assert th == pytest.approx(5.991)
+
+
+def test_ba_step_removes_planted_outlier(init_state):
+    ds, cfg, feats, wmap = init_state
+    # Corrupt one registered left observation of the first keyframe.
+    slot = int(jnp.argmax(wmap.kf_valid))
+    obs = np.asarray(wmap.kf_obs_left[slot])
+    target = int(np.nonzero(obs)[0][0])
+    bad_uv = wmap.kf_uv[slot, target] + jnp.asarray([45.0, -30.0])
+    wmap_bad = wmap._replace(kf_uv=wmap.kf_uv.at[slot, target].set(bad_uv))
+    lm_id = int(wmap_bad.kf_lm[slot, target])
+    obs_before = int(wmap_bad.lm_obs[lm_id])
+
+    wmap2, stats = backend_mod.ba_step(cfg, ds.rig, wmap_bad)
+    assert int(stats.n_outlier) >= 1
+    assert not bool(wmap2.kf_obs_left[slot, target])  # observation removed
+    assert int(wmap2.lm_obs[lm_id]) == obs_before - 1  # count decremented
+
+
+def test_ba_step_jits_and_improves(init_state):
+    ds, cfg, feats, wmap = init_state
+    # Perturb landmark positions; BA must pull them back (chi decreases).
+    key = jax.random.PRNGKey(0)
+    noise = 0.2 * jax.random.normal(key, wmap.lm_pos.shape)
+    wmap_noisy = wmap._replace(lm_pos=wmap.lm_pos + jnp.where(wmap.lm_alive[:, None], noise, 0.0))
+
+    @jax.jit
+    def run(w):
+        return backend_mod.ba_step(cfg, ds.rig, w)
+
+    w0, s0 = run(wmap_noisy)
+    # chi after optimization must be far below the initial residual level
+    from legoslam_tpu.solver import robust, schur
+
+    problem, _ = backend_mod.build_problem(cfg, ds.rig, wmap_noisy)
+    chi_before = float(schur.robust_chi(problem.graph, problem.poses, problem.points, robust.HUBER, 5.991))
+    assert float(s0.chi) < 0.2 * chi_before
