@@ -101,9 +101,9 @@ def match(
     x0 = -(d_hi + half + 1)
     strip = sample_strip(img_r, kp, P, S, float(x0))       # (N, P, S)
 
-    # Dense integer cost volume: windows are slices of the strip.
-    win_idx = 1 + jnp.arange(D)[:, None] + jnp.arange(P)[None, :]     # (D, P)
-    windows = strip[:, :, win_idx]                          # (N, P, D, P)
+    # Dense integer cost volume: windows are *static* slices of the strip
+    # (stacked slices, not a gather — TPU gathers are slow).
+    windows = jnp.stack([strip[:, :, 1 + j : 1 + j + P] for j in range(D)], axis=2)  # (N, P, D, P)
     cost = 1.0 - _zncc(patch_l[:, :, None, :], windows, axes=(1, 3))  # (N, D)
 
     best_j = jnp.argmin(cost, axis=1)
@@ -128,16 +128,18 @@ def match(
 
     # Gauss-Newton on u inside the strip (the x-only restriction of the
     # reference's GN loop, algorithm.cpp:58-115; d(err)/du = -strip gradient).
-    col = jnp.arange(P, dtype=kp.dtype)[None, None, :]
+    # Fractional windows are read with a 2-tap one-hot einsum over the strip
+    # columns (small batched matmul) instead of a TPU-hostile gather.
+    col = jnp.arange(P, dtype=kp.dtype)[None, :]
+    iota_s = jnp.arange(S, dtype=kp.dtype)[None, None, :]
 
     def sample_win(u):
-        pos = u[:, None, None] + col                       # (N, 1, P)
-        i0 = jnp.clip(jnp.floor(pos), 0.0, S - 2.0)
-        f = pos - i0
-        i0 = i0.astype(jnp.int32)
-        idx0 = jnp.broadcast_to(i0, (kp.shape[0], P, P))
-        v0 = jnp.take_along_axis(strip, idx0, axis=2)
-        v1 = jnp.take_along_axis(strip, idx0 + 1, axis=2)
+        pos = jnp.clip(u[:, None] + col, 0.0, S - 2.0)     # (N, P) window col starts
+        i0 = jnp.floor(pos)
+        f = (pos - i0)[:, None, :]                          # (N, 1, P)
+        w0 = (iota_s == i0[:, :, None]).astype(kp.dtype)    # (N, P, S) one-hot
+        v0 = jnp.einsum("nys,nks->nyk", strip, w0)
+        v1 = jnp.einsum("nys,nks->nyk", strip, jnp.roll(w0, 1, axis=2))
         return (1.0 - f) * v0 + f * v1
 
     def body(_, st):

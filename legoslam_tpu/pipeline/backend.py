@@ -49,6 +49,7 @@ class BAProblem(NamedTuple):
     poses: jnp.ndarray        # (KW, 4, 4)
     points: jnp.ndarray       # (LA, 3)
     active_ids: jnp.ndarray   # (LA,) global landmark ids (-1 = empty slot)
+    e_src: jnp.ndarray        # (EB,) source index into the (2, KW, NF) obs grid
 
 
 def build_problem(cfg: FrontendConfig, rig: StereoRig, wmap: WorldMap) -> Tuple[BAProblem, jnp.ndarray]:
@@ -57,51 +58,74 @@ def build_problem(cfg: FrontendConfig, rig: StereoRig, wmap: WorldMap) -> Tuple[
     Mirrors the graph built in Backend::Optimize (backend_lego.cpp:63-158):
     one pose vertex per active keyframe, one landmark vertex per active
     landmark, and one projection edge per registered observation, with the
-    left/right extrinsic chosen per observation.  Fixed shapes: pose index =
-    window slot, landmark index = slot in a compacted active-landmark table.
+    left/right extrinsic chosen per observation.
+
+    TPU layout notes: the landmark vertex set is derived from the window's
+    observation grid itself (sort + dedupe over KW*NF entries, searchsorted
+    lookups) rather than scanning the global landmark table — the table holds
+    2^17 slots and a nonzero/scatter over it costs more than the whole Schur
+    solve.  Edges are validity-compacted to `caps.ba_edges` lanes so the
+    per-LM-iteration segment-sums touch a fraction of the (2*KW*NF) grid.
     """
     caps = cfg.caps
     KW, NF, LA = caps.window, caps.max_features, caps.active_landmarks
+    EB = caps.ba_edges
 
-    (active_ids,) = jnp.nonzero(wmap.lm_active, size=LA, fill_value=-1)
+    # --- active landmark set from the window's observations ---------------
+    kf_ok = jnp.repeat(wmap.kf_valid, NF)
+    obs_any = (wmap.kf_obs_left | wmap.kf_obs_right).reshape(-1) & kf_ok
+    lm_flat = wmap.kf_lm.reshape(-1)
+    referenced = jnp.where(obs_any & (lm_flat >= 0), lm_flat, jnp.int32(2**30))
+    sorted_ids = jnp.sort(referenced)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+    ) & (sorted_ids < 2**30)
+    # Compact the unique ids to the front of an (LA,) table.
+    rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1
+    tgt = jnp.where(is_first & (rank < LA), rank, LA)
+    active_ids = jnp.full((LA + 1,), -1, jnp.int32).at[tgt].set(sorted_ids)[:LA]
+    # Fill slots beyond the unique count keep -1 via the scratch entry.
     point_valid = active_ids >= 0
     points = wmap.lm_pos[jnp.maximum(active_ids, 0)]
-    n_active = jnp.sum(wmap.lm_active.astype(jnp.int32))
+    n_active = jnp.sum(is_first.astype(jnp.int32))
     n_dropped = jnp.maximum(n_active - LA, 0)
 
-    # Inverse map: global landmark id -> active slot (-1 if not active/overflow).
-    # Empty table slots scatter into a scratch entry (index ML) so they cannot
-    # clobber a real landmark's entry.
-    inv = jnp.full((caps.landmarks + 1,), -1, jnp.int32)
-    write_idx = jnp.where(point_valid, active_ids, caps.landmarks)
-    inv = inv.at[write_idx].set(jnp.arange(LA, dtype=jnp.int32))[: caps.landmarks]
+    # Landmark id -> active slot, by binary search over the compacted table
+    # (valid slots are sorted ascending by construction).
+    key = jnp.where(point_valid, active_ids, jnp.int32(2**30))
+    slot_flat = jnp.searchsorted(key, lm_flat)
+    slot_flat = jnp.clip(slot_flat, 0, LA - 1)
+    hit = key[slot_flat] == lm_flat
+    base_ok = obs_any & hit
 
-    lm_flat = wmap.kf_lm.reshape(-1)
-    slot_flat = inv[jnp.maximum(lm_flat, 0)]
-    kf_ok = jnp.repeat(wmap.kf_valid, NF)
-    base_ok = kf_ok & (lm_flat >= 0) & (slot_flat >= 0)
-
-    e_pose = jnp.tile(jnp.repeat(jnp.arange(KW, dtype=jnp.int32), NF), 2)
-    e_point = jnp.tile(jnp.maximum(slot_flat, 0), 2)
-    e_cam = jnp.repeat(jnp.arange(2, dtype=jnp.int32), KW * NF)
-    e_uv = jnp.concatenate([wmap.kf_uv.reshape(-1, 2), wmap.kf_uv_r.reshape(-1, 2)])
-    e_valid = jnp.concatenate(
+    # --- edge grid (2 cams x KW x NF), then validity compaction ------------
+    e_pose_g = jnp.tile(jnp.repeat(jnp.arange(KW, dtype=jnp.int32), NF), 2)
+    e_point_g = jnp.tile(jnp.where(hit, slot_flat, 0).astype(jnp.int32), 2)
+    e_cam_g = jnp.repeat(jnp.arange(2, dtype=jnp.int32), KW * NF)
+    e_uv_g = jnp.concatenate([wmap.kf_uv.reshape(-1, 2), wmap.kf_uv_r.reshape(-1, 2)])
+    e_valid_g = jnp.concatenate(
         [base_ok & wmap.kf_obs_left.reshape(-1), base_ok & wmap.kf_obs_right.reshape(-1)]
     )
+    order = jnp.argsort(~e_valid_g, stable=True)[:EB]
+    e_valid = e_valid_g[order]
+    n_edges = jnp.sum(e_valid_g.astype(jnp.int32))
+    n_edge_drop = jnp.maximum(n_edges - EB, 0)
 
     graph = schur.BAGraph(
-        e_pose=e_pose,
-        e_point=e_point,
-        e_cam=e_cam,
-        e_uv=e_uv,
+        e_pose=e_pose_g[order],
+        e_point=e_point_g[order],
+        e_cam=e_cam_g[order],
+        e_uv=e_uv_g[order],
         e_valid=e_valid,
         exts=jnp.stack([rig.left.pose, rig.right.pose]),
         intr=_intr(rig),
         pose_fixed=~wmap.kf_valid,
         point_valid=point_valid,
     )
-    problem = BAProblem(graph=graph, poses=wmap.kf_pose, points=points, active_ids=active_ids)
-    return problem, jnp.stack([n_active, n_dropped])
+    problem = BAProblem(
+        graph=graph, poses=wmap.kf_pose, points=points, active_ids=active_ids, e_src=order
+    )
+    return problem, jnp.stack([n_active, n_dropped + n_edge_drop])
 
 
 def adaptive_chi2_threshold(
@@ -160,10 +184,12 @@ def ba_step(
     n_in = jnp.sum(e_valid.astype(jnp.int32)) - n_out
 
     # Remove outlier observations (backend_lego.cpp:186-194): clear the obs
-    # flag and decrement the landmark's observation count.
+    # flag and decrement the landmark's observation count.  Compacted edge
+    # verdicts scatter back to the (2, KW, NF) observation grid via e_src.
     KW, NF = cfg.caps.window, cfg.caps.max_features
-    out_l = outlier_edge[: KW * NF].reshape(KW, NF)
-    out_r = outlier_edge[KW * NF :].reshape(KW, NF)
+    out_grid = jnp.zeros((2 * KW * NF,), bool).at[problem.e_src].set(outlier_edge)
+    out_l = out_grid[: KW * NF].reshape(KW, NF)
+    out_r = out_grid[KW * NF :].reshape(KW, NF)
     lm_idx = jnp.maximum(wmap.kf_lm, 0)
     dec = out_l.astype(jnp.int32) + out_r.astype(jnp.int32)
     lm_obs = wmap.lm_obs.at[lm_idx.reshape(-1)].add(-dec.reshape(-1))

@@ -78,6 +78,7 @@ class FrontendConfig(NamedTuple):
             window=cfg["keyframe_window_capacity"],
             active_landmarks=cfg["max_active_landmarks"],
             landmarks=cfg["max_landmarks"],
+            ba_edges=cfg["max_ba_edges"],
         )
         return FrontendConfig(
             caps=caps,

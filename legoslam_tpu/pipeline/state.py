@@ -32,6 +32,7 @@ class Capacities(NamedTuple):
     window: int = 16               # keyframe slots (15 active + insertion slack)
     active_landmarks: int = 4096   # landmark slots in one BA problem
     landmarks: int = 1 << 17       # global landmark table
+    ba_edges: int = 6144           # observation edges in one BA problem
 
 
 class Features(NamedTuple):

@@ -64,6 +64,7 @@ DEFAULTS: Dict[str, Any] = {
     "max_features": 512,
     "max_landmarks": 1 << 17,
     "max_active_landmarks": 4096,
+    "max_ba_edges": 6144,
     "keyframe_window_capacity": 16,
     # --- misc ---
     "min_dis_th": 0.2,             # map.cpp:56 keyframe eviction distance
