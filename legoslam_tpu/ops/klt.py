@@ -35,6 +35,25 @@ class KLTConfig(NamedTuple):
     inverse: bool = False      # forward mode default (frontend_g2o.cpp:473)
 
 
+def _gn_loop(iterations: int, body, init):
+    """Run the per-lane GN body until every lane goes inactive (or the
+    iteration cap).  The reference breaks per keypoint (algorithm.cpp:102-115);
+    batched lanes exit together once the last one converges — on real frames
+    that is typically 3-5 of the 10 allowed iterations, and the early exit
+    skips the rest of this deeply sequential loop."""
+
+    def cond(st):
+        i, carry = st
+        return (i < iterations) & jnp.any(carry[3])
+
+    def wrapped(st):
+        i, carry = st
+        return i + 1, body(i, carry)
+
+    _, out = jax.lax.while_loop(cond, wrapped, (jnp.asarray(0, jnp.int32), init))
+    return out
+
+
 def _grad_patches(big: jnp.ndarray):
     """Split a (N, P+2, P+2) halo patch into value/grad-x/grad-y (N, P, P).
 
@@ -119,9 +138,7 @@ def klt_level(
         return d, last_cost, succ, active
 
     inf = jnp.full(kp1.shape[:1], jnp.inf, dtype)
-    d, _, succ, _ = jax.lax.fori_loop(
-        0, cfg.iterations, body, (d0, inf, valid, valid)
-    )
+    d, _, succ, _ = _gn_loop(cfg.iterations, body, (d0, inf, valid, valid))
     kp2_out = kp1 + d
     in_img = (
         (kp2_out[:, 0] >= 0) & (kp2_out[:, 0] < W) & (kp2_out[:, 1] >= 0) & (kp2_out[:, 1] < H)
@@ -250,7 +267,7 @@ def klt_level_anchored(
         return d, last_cost, succ, active
 
     inf = jnp.full(kp1.shape[:1], jnp.inf, kp1.dtype)
-    d, _, succ, _ = jax.lax.fori_loop(0, cfg.iterations, body, (d0, inf, valid, valid))
+    d, _, succ, _ = _gn_loop(cfg.iterations, body, (d0, inf, valid, valid))
     kp2_out = kp1 + d
     in_img = (
         (kp2_out[:, 0] >= 0) & (kp2_out[:, 0] < W) & (kp2_out[:, 1] >= 0) & (kp2_out[:, 1] < H)

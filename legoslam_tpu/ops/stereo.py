@@ -161,7 +161,16 @@ def match(
 
     inf = jnp.full(kp.shape[:1], jnp.inf, kp.dtype)
     ok0 = valid & ~ambiguous
-    u, _, _ = jax.lax.fori_loop(0, cfg.refine_iterations, body, (u0, inf, ok0))
+
+    def loop_cond(st):
+        i, carry = st
+        return (i < cfg.refine_iterations) & jnp.any(carry[2])
+
+    _, (u, _, _) = jax.lax.while_loop(
+        loop_cond,
+        lambda st: (st[0] + 1, body(st[0], st[1])),
+        (jnp.asarray(0, jnp.int32), (u0, inf, ok0)),
+    )
 
     d = (1.0 + d_hi) - u
     score = 1.0 - _zncc(patch_l, sample_win(u))

@@ -30,9 +30,9 @@ class Capacities(NamedTuple):
 
     max_features: int = 512        # per-frame feature slots (tracked + detected)
     window: int = 16               # keyframe slots (15 active + insertion slack)
-    active_landmarks: int = 4096   # landmark slots in one BA problem
+    active_landmarks: int = 2048   # landmark slots in one BA problem
     landmarks: int = 1 << 17       # global landmark table
-    ba_edges: int = 6144           # observation edges in one BA problem
+    ba_edges: int = 5120           # observation edges in one BA problem
 
 
 class Features(NamedTuple):

@@ -63,8 +63,8 @@ DEFAULTS: Dict[str, Any] = {
     # --- capacities (TPU fixed-shape world model; no reference analogue) ---
     "max_features": 512,
     "max_landmarks": 1 << 17,
-    "max_active_landmarks": 4096,
-    "max_ba_edges": 6144,
+    "max_active_landmarks": 2048,
+    "max_ba_edges": 5120,
     "keyframe_window_capacity": 16,
     # --- misc ---
     "min_dis_th": 0.2,             # map.cpp:56 keyframe eviction distance
