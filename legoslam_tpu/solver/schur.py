@@ -99,9 +99,17 @@ def edge_chi2(graph: BAGraph, poses: jnp.ndarray, points: jnp.ndarray, kernel: s
 
 
 def build_blocks(graph: BAGraph, poses: jnp.ndarray, points: jnp.ndarray, kernel: str, delta: float) -> BABlocks:
-    """buildHessian (problem.cpp:273-358) as segment-sums of per-edge blocks."""
+    """buildHessian (problem.cpp:273-358) as one-hot matmul reductions.
+
+    Per-edge blocks reduce into pose/landmark segments through one-hot
+    assignment matrices contracted on the MXU instead of `segment_sum`:
+    TPU scatter-adds serialize, while the dense contractions (the largest is
+    (K, E, 18) x (E, L) for the cross blocks, a few GFLOP) are effectively
+    free on the systolic array.
+    """
     K = poses.shape[0]
     L = points.shape[0]
+    dtype = points.dtype
     r, Jp, Jl, drho, W, valid = edge_terms(graph, poses, points, kernel, delta)
 
     JpW = jnp.einsum("eia,eij->eaj", Jp, W)       # (E, 6, 2) J^T W
@@ -113,14 +121,16 @@ def build_blocks(graph: BAGraph, poses: jnp.ndarray, points: jnp.ndarray, kernel
     bp_e = -drho[:, None] * jnp.einsum("eia,ei->ea", Jp, r)
     bl_e = -drho[:, None] * jnp.einsum("eia,ei->ea", Jl, r)
 
-    seg_p = graph.e_pose
-    seg_l = graph.e_point
-    seg_pl = graph.e_pose * L + graph.e_point
-    Hpp = jax.ops.segment_sum(Hpp_e, seg_p, num_segments=K)
-    Hll = jax.ops.segment_sum(Hll_e, seg_l, num_segments=L)
-    Hpl = jax.ops.segment_sum(Hpl_e, seg_pl, num_segments=K * L).reshape(K, L, 6, 3)
-    bp = jax.ops.segment_sum(bp_e, seg_p, num_segments=K)
-    bl = jax.ops.segment_sum(bl_e, seg_l, num_segments=L)
+    onehot_p = (graph.e_pose[:, None] == jnp.arange(K)[None, :]).astype(dtype)   # (E, K)
+    onehot_l = (graph.e_point[:, None] == jnp.arange(L)[None, :]).astype(dtype)  # (E, L)
+    E = graph.e_pose.shape[0]
+    Hpp = (onehot_p.T @ Hpp_e.reshape(E, 36)).reshape(K, 6, 6)
+    Hll = (onehot_l.T @ Hll_e.reshape(E, 9)).reshape(L, 3, 3)
+    bp = onehot_p.T @ bp_e
+    bl = onehot_l.T @ bl_e
+    # Cross blocks: mask the per-edge block by its pose, reduce over landmarks.
+    Vk = Hpl_e.reshape(E, 18)[None, :, :] * onehot_p.T[:, :, None]   # (K, E, 18)
+    Hpl = jnp.einsum("el,kev->klv", onehot_l, Vk).reshape(K, L, 6, 3)
     return BABlocks(Hpp=Hpp, Hll=Hll, Hpl=Hpl, bp=bp, bl=bl)
 
 
