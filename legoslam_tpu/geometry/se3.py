@@ -182,6 +182,18 @@ def retract(T: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
     return se3_exp(delta) @ T
 
 
+def adjoint(T: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint of ``(..., 4, 4)`` transforms for [rho, phi] tangents:
+    Ad(T) = [[R, hat(t) R], [0, R]] (..., 6, 6)."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    tR = hat(t) @ R
+    zero = jnp.zeros_like(R)
+    top = jnp.concatenate([R, tR], axis=-1)
+    bottom = jnp.concatenate([zero, R], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def rot_to_quat(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrices ``(..., 3, 3)`` -> unit quaternions ``(..., 4)`` (x, y, z, w).
 
