@@ -31,6 +31,7 @@ class BAConfig(NamedTuple):
     max_chi2_doublings: int = 5   # backend_lego.cpp:166
     inlier_ratio: float = 0.5
     strategy: str = "default"
+    linear_solver: str = "cholesky"
 
 
 class BAStats(NamedTuple):
@@ -166,7 +167,10 @@ def ba_step(
     swap the single-chip solver for the mesh-sharded one (parallel/dist_ba.py).
     """
     problem, counts = build_problem(cfg, rig, wmap)
-    lm_cfg = lm_ops.LMConfig(iterations=ba_cfg.iterations, strategy=ba_cfg.strategy)
+    lm_cfg = lm_ops.LMConfig(
+        iterations=ba_cfg.iterations, strategy=ba_cfg.strategy,
+        linear_solver=ba_cfg.linear_solver,
+    )
     if solve_fn is None:
         state, res = lm_ops.solve_ba(
             problem.graph, problem.poses, problem.points,

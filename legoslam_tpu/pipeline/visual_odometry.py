@@ -232,6 +232,7 @@ class VisualOdometry:
             max_chi2_doublings=self.config["ba_max_chi2_doublings"],
             inlier_ratio=self.config["ba_inlier_ratio"],
             strategy=self.config["lm_strategy"],
+            linear_solver=self.config["linear_solver"],
         )
         cfg, rig = self.frontend_cfg, self.rig
 

@@ -35,6 +35,7 @@ class LMConfig(NamedTuple):
     false_cnt_threshold: int = 10    # problem.cpp:178
     init_lambda: float = -1.0        # <0: compute from Hessian diagonal
     max_diag_cap: float = 5e10       # problem.cpp:494
+    linear_solver: str = "cholesky"  # "cholesky" | "pcg" (problem.cpp:377-422)
 
 
 class LMFunctions(NamedTuple):
@@ -186,7 +187,7 @@ def solve_ba(
     def solve_fn(aux, lam):
         blocks, _ = aux
         S, bs, Hll_inv = schur.schur_reduce(blocks, graph.point_valid)
-        dx_p = schur.damp_and_solve(S, bs, lam, cfg.strategy)
+        dx_p = schur.damp_and_solve(S, bs, lam, cfg.strategy, method=cfg.linear_solver)
         dx_l = schur.back_substitute(blocks, Hll_inv, dx_p)
         return (dx_p.reshape(-1, 6), dx_l)
 

@@ -195,14 +195,19 @@ def back_substitute(blocks: BABlocks, Hll_inv: jnp.ndarray, dx_p: jnp.ndarray) -
     return jnp.einsum("lab,lb->la", Hll_inv, rhs)
 
 
-def damp_and_solve(S: jnp.ndarray, bs: jnp.ndarray, lam: jnp.ndarray, strategy: str = "default") -> jnp.ndarray:
+def damp_and_solve(
+    S: jnp.ndarray, bs: jnp.ndarray, lam: jnp.ndarray, strategy: str = "default",
+    method: str = "cholesky",
+) -> jnp.ndarray:
     """Apply the LM damping strategy to the reduced system and solve it.
 
     default: additive S_ii += lambda (problem.cpp:410-412)
     strategy1: multiplicative S_ii += lambda * S_ii (problem.cpp:414-417)
+    method: "cholesky" (Eigen LDLT analogue, problem.cpp:420) or "pcg"
+    (problem.cpp:422 / :584-614).
 
     A unit diagonal is added where the system has no support (fixed poses /
-    empty slots) so the dense Cholesky stays well-posed and those unknowns get
+    empty slots) so the dense solve stays well-posed and those unknowns get
     a zero update — the masked-array equivalent of absent vertices.
     """
     diag = jnp.diagonal(S)
@@ -214,6 +219,9 @@ def damp_and_solve(S: jnp.ndarray, bs: jnp.ndarray, lam: jnp.ndarray, strategy: 
     damped = damped + jnp.where(no_support, 1.0, 0.0)
     n = S.shape[0]
     S = S.at[jnp.arange(n), jnp.arange(n)].set(damped)
-    # Cholesky via jax.scipy (the reference uses Eigen LDLT, problem.cpp:420).
+    if method == "pcg":
+        from legoslam_tpu.solver import pcg
+
+        return pcg.pcg_solve(S, bs)
     factor = jax.scipy.linalg.cho_factor(S, lower=True)
     return jax.scipy.linalg.cho_solve(factor, bs)

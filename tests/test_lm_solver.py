@@ -212,3 +212,16 @@ def test_lm_jits(rng):
 
     p, c = run(graph, jnp.asarray(poses), jnp.asarray(pts))
     assert np.isfinite(float(c))
+
+
+def test_ba_with_pcg_linear_solver(rng):
+    """The PCG seam (problem.cpp:377-422) must reach the same optimum."""
+    pts, poses, exts = make_scene(rng, n_points=50, n_poses=4)
+    uv, ok = project_all(pts, poses, exts)
+    graph = _build_graph(pts, poses, exts, uv, ok, uv)
+    pts0 = pts + rng.normal(scale=0.3, size=pts.shape).astype(np.float32)
+    s_ch, r_ch = lm.solve_ba(graph, jnp.asarray(poses), jnp.asarray(pts0), cfg=lm.LMConfig(iterations=6))
+    s_pc, r_pc = lm.solve_ba(graph, jnp.asarray(poses), jnp.asarray(pts0),
+                             cfg=lm.LMConfig(iterations=6, linear_solver="pcg"))
+    assert float(r_pc.chi) < 1.5 * float(r_ch.chi) + 1e-3
+    np.testing.assert_allclose(np.asarray(s_pc.poses), np.asarray(s_ch.poses), atol=5e-3)
