@@ -18,6 +18,12 @@ def main():
     ap.add_argument("--speed", type=float, default=0.2)
     ap.add_argument("--out_dir", default="out_synth")
     ap.add_argument("--no_ba", action="store_true")
+    ap.add_argument("--stop_after", type=int, default=0,
+                    help="process only this many frames, then save --save_checkpoint and exit")
+    ap.add_argument("--save_checkpoint", default="",
+                    help="path to write a VO checkpoint (.npz) at the end of the run")
+    ap.add_argument("--load_checkpoint", default="",
+                    help="resume from a VO checkpoint written by --save_checkpoint")
     args = ap.parse_args()
 
     from legoslam_tpu.pipeline.dataset import SyntheticPlanesDataset
@@ -37,7 +43,19 @@ def main():
     })
     vo = VisualOdometry(config=config, dataset=ds, inline_ba=not args.no_ba)
     assert vo.init()
-    vo.run()
+    if args.load_checkpoint:
+        vo.load_checkpoint(args.load_checkpoint)
+        log.info("resumed from %s at frame index %d", args.load_checkpoint,
+                 ds.current_index)
+    if args.stop_after:
+        for _ in range(args.stop_after):
+            if not vo.step():
+                break
+    else:
+        vo.run()
+    if args.save_checkpoint:
+        vo.save_checkpoint(args.save_checkpoint)
+        log.info("checkpoint written to %s", args.save_checkpoint)
 
     est = vo.trajectory_T_wc()
     gt = ds.ground_truth[: len(est)]

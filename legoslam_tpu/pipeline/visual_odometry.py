@@ -298,6 +298,17 @@ class VisualOdometry:
     def num_keyframes(self) -> int:
         return int(self.carry.wmap.num_keyframes()) if self.carry is not None else 0
 
+    # --- checkpoint / resume (no reference analogue — SURVEY §5 gap) ---
+    def save_checkpoint(self, path: str) -> None:
+        from legoslam_tpu.utils import checkpoint
+
+        checkpoint.save_vo_checkpoint(path, self)
+
+    def load_checkpoint(self, path: str) -> None:
+        from legoslam_tpu.utils import checkpoint
+
+        checkpoint.load_vo_checkpoint(path, self)
+
     # --- export / visualization ---
     def save_trajectory(self, path: str, fmt: str = "kitti") -> None:
         from legoslam_tpu.utils import evaluation

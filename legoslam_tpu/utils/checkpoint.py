@@ -1,0 +1,119 @@
+"""Checkpoint / resume for the SLAM pipeline.
+
+The reference has **no** persistence at all (SURVEY §5: no map or trajectory
+serialization anywhere; the g2o `read`/`write` stubs in g2o_types.h:44-46
+just return true).  This module closes that gap, and it is where the
+functional redesign pays off: the entire mutable world of the reference —
+`Map`'s four pointer containers, every `Frame`/`MapPoint` object and its
+mutex (src/map.cpp, src/frame.cpp, src/mappoint.cpp) — is here a single
+pytree of fixed-shape arrays (`VOCarry`), so a checkpoint is just that
+pytree's leaves written to one compressed `.npz`, and resume is an exact
+bit-level restoration of the device state.
+
+Format: `.npz` with leaves keyed `leaf_{i:04d}` in `tree_flatten` order plus
+a `__meta__` JSON blob (leaf count, schema version, user metadata).  The
+loader rebuilds the pytree structure from a template produced by the same
+config that will consume it, which guarantees shape/capacity agreement or a
+loud error — never a silently misinterpreted buffer.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+SCHEMA_VERSION = 1
+
+
+def _flatten(tree) -> Tuple[list, Any]:
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return leaves, treedef
+
+
+def save_pytree(path: str, tree, meta: Optional[Dict[str, Any]] = None) -> None:
+    """Write any pytree of arrays to `path` (.npz, compressed)."""
+    leaves, _ = _flatten(tree)
+    blobs = {f"leaf_{i:04d}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    blobs["__meta__"] = np.frombuffer(
+        json.dumps(
+            {"schema": SCHEMA_VERSION, "n_leaves": len(leaves), "user": meta or {}}
+        ).encode("utf-8"),
+        dtype=np.uint8,
+    )
+    np.savez_compressed(path, **blobs)
+
+
+def load_pytree(path: str, template) -> Tuple[Any, Dict[str, Any]]:
+    """Read a pytree saved by `save_pytree`, shaped like `template`.
+
+    Every leaf must match the template's shape and dtype exactly; capacity
+    or config drift between save and load fails loudly here.
+    """
+    data = np.load(path)
+    meta = json.loads(bytes(data["__meta__"]).decode("utf-8"))
+    if meta["schema"] != SCHEMA_VERSION:
+        raise ValueError(f"checkpoint schema {meta['schema']} != {SCHEMA_VERSION}")
+    t_leaves, treedef = _flatten(template)
+    if meta["n_leaves"] != len(t_leaves):
+        raise ValueError(
+            f"checkpoint has {meta['n_leaves']} leaves, template has {len(t_leaves)} "
+            "(config/capacity mismatch between save and load)"
+        )
+    leaves = []
+    for i, t_leaf in enumerate(t_leaves):
+        arr = data[f"leaf_{i:04d}"]
+        t_arr = np.asarray(t_leaf)
+        if arr.shape != t_arr.shape or arr.dtype != t_arr.dtype:
+            raise ValueError(
+                f"leaf {i}: checkpoint {arr.shape}/{arr.dtype} vs "
+                f"template {t_arr.shape}/{t_arr.dtype}"
+            )
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves), meta.get("user", {})
+
+
+def save_vo_checkpoint(path: str, vo) -> None:
+    """Snapshot a running `VisualOdometry`: device carry + host trajectory.
+
+    Resume with `load_vo_checkpoint` on a VO constructed with the same
+    config; the next `step()` continues the sequence exactly where this one
+    stopped (same map, same keyframe window, same constant-velocity prior).
+    """
+    if vo.carry is None:
+        raise ValueError("VO has processed no frames; nothing to checkpoint")
+    outputs = [jax.device_get(o) for o in vo.outputs]
+    user = {
+        "frame_ids": [int(i) for i in vo.frame_ids],
+        "n_outputs": len(outputs),
+        "image_shape": list(vo.carry.pyr_last[0].shape),
+        "next_index": int(getattr(vo.dataset, "current_index", 0)),
+    }
+    save_pytree(path, (vo.carry, outputs), meta=user)
+
+
+def load_vo_checkpoint(path: str, vo) -> None:
+    """Restore a `save_vo_checkpoint` snapshot into an `init()`-ed VO."""
+    from legoslam_tpu.pipeline import visual_odometry as vo_mod
+
+    if vo.frontend_cfg is None:
+        raise ValueError("call vo.init() before loading a checkpoint")
+    probe = np.load(path)
+    user = json.loads(bytes(probe["__meta__"]).decode("utf-8"))["user"]
+    carry_t = vo_mod.initial_carry(vo.frontend_cfg, tuple(user["image_shape"]))
+    out_t = vo_mod.FrameOutput(
+        T_cw=np.zeros((4, 4), np.float32),
+        status=np.asarray(0, np.int32),
+        kf_inserted=np.asarray(False),
+        n_inliers=np.asarray(0, np.int32),
+        ba_chi=np.asarray(0.0, np.float32),
+    )
+    template = (carry_t, [out_t] * user["n_outputs"])
+    (carry, outputs), user2 = load_pytree(path, template)
+    vo.carry = jax.device_put(carry)
+    vo.outputs = list(outputs)
+    vo.frame_ids = list(user2["frame_ids"])
+    if hasattr(vo.dataset, "current_index"):
+        vo.dataset.current_index = int(user2.get("next_index", 0))
