@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from legoslam_tpu.geometry.camera import StereoRig
+from legoslam_tpu.solver import edge_soa
 from legoslam_tpu.solver import lm as lm_ops
 from legoslam_tpu.solver import reprojection, robust, schur
 from legoslam_tpu.pipeline.frontend import FrontendConfig, _intr
@@ -71,50 +72,51 @@ def build_problem(cfg: FrontendConfig, rig: StereoRig, wmap: WorldMap) -> Tuple[
     caps = cfg.caps
     KW, NF, LA = caps.window, caps.max_features, caps.active_landmarks
     EB = caps.ba_edges
+    BIG = jnp.int32(2**30)
 
-    # --- active landmark set from the window's observations ---------------
+    # --- one argsort does everything -----------------------------------------
+    # Sorting the (2*KW*NF) observation grid by (invalid ? BIG : landmark id)
+    # simultaneously (a) compacts valid edges to the front, (b) groups them by
+    # landmark so unique actives are segment boundaries, and (c) yields each
+    # edge's active slot as the running unique count — replacing the previous
+    # sort + argsort + searchsorted trio with a single sort pass.
     kf_ok = jnp.repeat(wmap.kf_valid, NF)
-    obs_any = (wmap.kf_obs_left | wmap.kf_obs_right).reshape(-1) & kf_ok
     lm_flat = wmap.kf_lm.reshape(-1)
-    referenced = jnp.where(obs_any & (lm_flat >= 0), lm_flat, jnp.int32(2**30))
-    sorted_ids = jnp.sort(referenced)
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
-    ) & (sorted_ids < 2**30)
-    # Compact the unique ids to the front of an (LA,) table.
-    rank = jnp.cumsum(is_first.astype(jnp.int32)) - 1
-    tgt = jnp.where(is_first & (rank < LA), rank, LA)
-    active_ids = jnp.full((LA + 1,), -1, jnp.int32).at[tgt].set(sorted_ids)[:LA]
-    # Fill slots beyond the unique count keep -1 via the scratch entry.
-    point_valid = active_ids >= 0
-    points = wmap.lm_pos[jnp.maximum(active_ids, 0)]
-    n_active = jnp.sum(is_first.astype(jnp.int32))
-    n_dropped = jnp.maximum(n_active - LA, 0)
-
-    # Landmark id -> active slot, by binary search over the compacted table
-    # (valid slots are sorted ascending by construction).
-    key = jnp.where(point_valid, active_ids, jnp.int32(2**30))
-    slot_flat = jnp.searchsorted(key, lm_flat)
-    slot_flat = jnp.clip(slot_flat, 0, LA - 1)
-    hit = key[slot_flat] == lm_flat
-    base_ok = obs_any & hit
-
-    # --- edge grid (2 cams x KW x NF), then validity compaction ------------
-    e_pose_g = jnp.tile(jnp.repeat(jnp.arange(KW, dtype=jnp.int32), NF), 2)
-    e_point_g = jnp.tile(jnp.where(hit, slot_flat, 0).astype(jnp.int32), 2)
-    e_cam_g = jnp.repeat(jnp.arange(2, dtype=jnp.int32), KW * NF)
-    e_uv_g = jnp.concatenate([wmap.kf_uv.reshape(-1, 2), wmap.kf_uv_r.reshape(-1, 2)])
-    e_valid_g = jnp.concatenate(
+    base_ok = kf_ok & (lm_flat >= 0)
+    valid_g = jnp.concatenate(
         [base_ok & wmap.kf_obs_left.reshape(-1), base_ok & wmap.kf_obs_right.reshape(-1)]
     )
-    order = jnp.argsort(~e_valid_g, stable=True)[:EB]
-    e_valid = e_valid_g[order]
-    n_edges = jnp.sum(e_valid_g.astype(jnp.int32))
+    lm2 = jnp.tile(lm_flat, 2)
+    key = jnp.where(valid_g, lm2, BIG)
+    order = jnp.argsort(key, stable=True)[:EB]
+    s = key[order]                       # (EB,) sorted landmark ids, BIG = invalid
+    e_valid = s < BIG
+    n_edges = jnp.sum(valid_g.astype(jnp.int32))
     n_edge_drop = jnp.maximum(n_edges - EB, 0)
+
+    is_first = (
+        jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]]) & e_valid
+    )
+    slot = jnp.cumsum(is_first.astype(jnp.int32)) - 1     # active slot per edge
+    overflow = slot >= LA
+    e_valid = e_valid & ~overflow
+    e_point = jnp.clip(slot, 0, LA - 1)
+    n_active = jnp.sum((is_first & ~overflow).astype(jnp.int32))
+    n_dropped = jnp.sum((is_first & overflow).astype(jnp.int32)) + n_edge_drop
+
+    tgt = jnp.where(is_first & ~overflow, slot, LA)
+    active_ids = jnp.full((LA + 1,), -1, jnp.int32).at[tgt].set(s)[:LA]
+    point_valid = active_ids >= 0
+    points = wmap.lm_pos[jnp.maximum(active_ids, 0)]
+
+    # Per-edge pose/cam/uv through the same permutation.
+    e_pose_g = jnp.tile(jnp.repeat(jnp.arange(KW, dtype=jnp.int32), NF), 2)
+    e_cam_g = jnp.repeat(jnp.arange(2, dtype=jnp.int32), KW * NF)
+    e_uv_g = jnp.concatenate([wmap.kf_uv.reshape(-1, 2), wmap.kf_uv_r.reshape(-1, 2)])
 
     graph = schur.BAGraph(
         e_pose=e_pose_g[order],
-        e_point=e_point_g[order],
+        e_point=e_point,
         e_cam=e_cam_g[order],
         e_uv=e_uv_g[order],
         e_valid=e_valid,
@@ -126,7 +128,7 @@ def build_problem(cfg: FrontendConfig, rig: StereoRig, wmap: WorldMap) -> Tuple[
     problem = BAProblem(
         graph=graph, poses=wmap.kf_pose, points=points, active_ids=active_ids, e_src=order
     )
-    return problem, jnp.stack([n_active, n_dropped + n_edge_drop])
+    return problem, jnp.stack([n_active, n_dropped])
 
 
 def adaptive_chi2_threshold(
@@ -180,7 +182,8 @@ def ba_step(
         state, res = solve_fn(problem.graph, problem.poses, problem.points, lm_cfg)
 
     # Outlier classification at the optimized state (robust chi2 per edge).
-    chis = schur.edge_chi2(problem.graph, state.poses, state.points, robust.HUBER, ba_cfg.chi2_threshold)
+    gs = edge_soa.make_soa_graph(problem.graph, assembly=False)
+    chis = edge_soa.soa_edge_chi2(gs, state.poses, state.points, robust.HUBER, ba_cfg.chi2_threshold)
     e_valid = schur.edge_mask(problem.graph)
     th = adaptive_chi2_threshold(chis, e_valid, ba_cfg)
     outlier_edge = e_valid & (chis > th)

@@ -167,9 +167,16 @@ def solve_ba(
     kernel: str = robust.HUBER,
     delta: float = 5.991,
     cfg: LMConfig = LMConfig(),
+    engine: str = "soa",
 ) -> Tuple[BAState, LMResult]:
     """Sliding-window BA: the TPU equivalent of `Backend::Optimize`'s
-    `problem.solve(10)` call (backend_lego.cpp:161) over the active window."""
+    `problem.solve(10)` call (backend_lego.cpp:161) over the active window.
+
+    engine="soa" uses the component-major fast path (solver/edge_soa.py);
+    "blocks" keeps the original block-tensor pipeline (solver/schur.py).
+    Both produce the same optimum (tests/test_edge_soa.py)."""
+    if engine == "soa":
+        return _solve_ba_soa(graph, poses, points, kernel=kernel, delta=delta, cfg=cfg)
 
     def build(st: BAState):
         blocks = schur.build_blocks(graph, st.poses, st.points, kernel, delta)
@@ -213,6 +220,59 @@ def solve_ba(
     def max_diag(aux):
         _, diag = aux
         return jnp.max(jnp.abs(diag))
+
+    fns = LMFunctions(build=build, chi=chi_fn, solve=solve_fn,
+                      retract=retract_fn, dot_scale=dot_scale, max_diag=max_diag)
+    res = lm_optimize(fns, BAState(poses=poses, points=points), cfg)
+    return res.state, res
+
+
+def _solve_ba_soa(
+    graph: schur.BAGraph,
+    poses: jnp.ndarray,
+    points: jnp.ndarray,
+    *,
+    kernel: str,
+    delta: float,
+    cfg: LMConfig,
+) -> Tuple[BAState, LMResult]:
+    """solve_ba on the component-major engine (see solver/edge_soa.py)."""
+    from legoslam_tpu.solver import edge_soa
+
+    gs = edge_soa.make_soa_graph(graph)
+
+    def build(st: BAState):
+        blocks = edge_soa.soa_build(gs, st.poses, st.points, kernel, delta)
+        return (blocks, edge_soa.soa_blocks_diag(blocks))
+
+    def chi_fn(st: BAState):
+        return edge_soa.soa_robust_chi(gs, st.poses, st.points, kernel, delta)
+
+    def solve_fn(aux, lam):
+        blocks, _ = aux
+        S, bs, Hll_inv = edge_soa.soa_schur_reduce(blocks, graph.point_valid)
+        dx_p = schur.damp_and_solve(S, bs, lam, cfg.strategy, method=cfg.linear_solver)
+        dx_l = edge_soa.soa_back_substitute(blocks, Hll_inv, dx_p)
+        return (dx_p.reshape(-1, 6), dx_l)
+
+    def retract_fn(st: BAState, dx):
+        dx_p, dx_l = dx
+        poses_n = se3.retract(st.poses, dx_p)
+        finite = jnp.all(jnp.isfinite(dx_l), axis=-1, keepdims=True)
+        points_n = st.points + jnp.where(finite & graph.point_valid[:, None], dx_l, 0.0)
+        return BAState(poses=poses_n, points=points_n)
+
+    def dot_scale(aux, dx, lam):
+        blocks, diag = aux
+        dx_p, dx_l = dx
+        flat = jnp.concatenate([dx_p.reshape(-1), dx_l.reshape(-1)])
+        b = jnp.concatenate([blocks.bp.T.reshape(-1), blocks.bl.T.reshape(-1)])
+        if cfg.strategy == "strategy1":
+            return 0.5 * jnp.dot(flat, lam * diag * flat + b)
+        return 0.5 * jnp.dot(flat, lam * flat + b)
+
+    def max_diag(aux):
+        return jnp.max(jnp.abs(aux[1]))
 
     fns = LMFunctions(build=build, chi=chi_fn, solve=solve_fn,
                       retract=retract_fn, dot_scale=dot_scale, max_diag=max_diag)
