@@ -171,15 +171,44 @@ def identity(dtype=jnp.float32) -> jnp.ndarray:
     return jnp.eye(4, dtype=dtype)
 
 
+def so3_project(R: jnp.ndarray, iterations: int = 2) -> jnp.ndarray:
+    """Project ``(..., 3, 3)`` near-rotations onto SO(3).
+
+    Newton iteration for the polar factor, ``R <- R (3I - R^T R) / 2``:
+    quadratically convergent for ||R^T R - I|| < 1, no SVD (TPU-friendly).
+
+    This projection is load-bearing, not cosmetic.  The reference keeps poses
+    in Sophus `SE3` objects (quaternion + translation), which renormalize on
+    every operation; a raw 4x4-matrix representation has no such guard.  In
+    float32, each frame's pose compositions (`rel @ T_cur`, `Exp(d) @ T`)
+    deposit ~1e-7 of non-orthonormality, and the per-frame recurrence
+    `rel = T_new @ inv(T_cur)`, `T_prior = rel @ T_cur` *amplifies* the skew
+    (inv() uses the transpose, which is only the inverse on SO(3)) by ~2.4x
+    per frame: 1e-7 grows to 1e-2 by frame ~15 and tracking collapses — the
+    round-1 long-horizon drift.  Projecting at every retract keeps the error
+    at machine epsilon forever.
+    """
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    for _ in range(iterations):
+        R = R @ (1.5 * eye - 0.5 * (jnp.swapaxes(R, -1, -2) @ R))
+    return R
+
+
+def se3_orthonormalize(T: jnp.ndarray, iterations: int = 2) -> jnp.ndarray:
+    """Re-project the rotation block of ``(..., 4, 4)`` transforms onto SO(3)."""
+    return _rt_to_mat(so3_project(T[..., :3, :3], iterations), T[..., :3, 3])
+
+
 def retract(T: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
     """Left-multiplicative manifold update ``Exp(delta) @ T``.
 
     Matches the reference's `VertexPose::add` (lego_types.h:61-91), including
-    its NaN/Inf guard: a non-finite update leaves the pose unchanged.
+    its NaN/Inf guard: a non-finite update leaves the pose unchanged.  The
+    result is re-projected onto SE(3) (see `so3_project` for why).
     """
     finite = jnp.all(jnp.isfinite(delta), axis=-1)
     delta = jnp.where(finite[..., None], delta, jnp.zeros_like(delta))
-    return se3_exp(delta) @ T
+    return se3_orthonormalize(se3_exp(delta) @ T)
 
 
 def adjoint(T: jnp.ndarray) -> jnp.ndarray:

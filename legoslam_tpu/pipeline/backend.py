@@ -33,6 +33,7 @@ class BAConfig(NamedTuple):
     inlier_ratio: float = 0.5
     strategy: str = "default"
     linear_solver: str = "cholesky"
+    trace: bool = False  # record the per-iteration chi/lambda solve trace
 
 
 class BAStats(NamedTuple):
@@ -42,6 +43,8 @@ class BAStats(NamedTuple):
     n_inlier: jnp.ndarray
     n_active_landmarks: jnp.ndarray
     n_dropped_landmarks: jnp.ndarray  # active landmarks beyond capacity (not optimized)
+    lam: jnp.ndarray = jnp.asarray(jnp.nan)      # final LM damping
+    trace: jnp.ndarray = jnp.zeros((0, 2))       # per-iteration [chi, lambda] if traced
 
 
 class BAProblem(NamedTuple):
@@ -72,14 +75,20 @@ def build_problem(cfg: FrontendConfig, rig: StereoRig, wmap: WorldMap) -> Tuple[
     caps = cfg.caps
     KW, NF, LA = caps.window, caps.max_features, caps.active_landmarks
     EB = caps.ba_edges
-    BIG = jnp.int32(2**30)
 
     # --- one argsort does everything -----------------------------------------
-    # Sorting the (2*KW*NF) observation grid by (invalid ? BIG : landmark id)
+    # Sorting the (2*KW*NF) observation grid by a hashed landmark key
     # simultaneously (a) compacts valid edges to the front, (b) groups them by
     # landmark so unique actives are segment boundaries, and (c) yields each
     # edge's active slot as the running unique count — replacing the previous
     # sort + argsort + searchsorted trio with a single sort pass.
+    #
+    # The key is a *bijective* hash of the landmark id (odd-multiplier mod
+    # 2^32), not the raw id: when the window exceeds the edge/landmark budget,
+    # sorting by raw id would systematically drop the newest landmarks — the
+    # exact ones keeping the latest keyframes constrained.  The hash spreads
+    # the over-budget drop uniformly across landmark ages instead.  Bijective
+    # means equal-key <=> equal-id, so segment grouping is unaffected.
     kf_ok = jnp.repeat(wmap.kf_valid, NF)
     lm_flat = wmap.kf_lm.reshape(-1)
     base_ok = kf_ok & (lm_flat >= 0)
@@ -87,10 +96,16 @@ def build_problem(cfg: FrontendConfig, rig: StereoRig, wmap: WorldMap) -> Tuple[
         [base_ok & wmap.kf_obs_left.reshape(-1), base_ok & wmap.kf_obs_right.reshape(-1)]
     )
     lm2 = jnp.tile(lm_flat, 2)
-    key = jnp.where(valid_g, lm2, BIG)
+    # Preimage of the 0xFFFFFFFF invalid sentinel under this hash is
+    # 4050964655 (= 0xFFFFFFFF * 244002641 mod 2^32) — far above any id.
+    assert caps.landmarks < 4050964655
+    INVALID = jnp.uint32(0xFFFFFFFF)
+    h = lm2.astype(jnp.uint32) * jnp.uint32(2654435761)
+    key = jnp.where(valid_g, h, INVALID)
     order = jnp.argsort(key, stable=True)[:EB]
-    s = key[order]                       # (EB,) sorted landmark ids, BIG = invalid
-    e_valid = s < BIG
+    s = key[order]                       # (EB,) sorted hashed ids
+    lm_s = lm2[order]                    # (EB,) landmark id per sorted edge
+    e_valid = s < INVALID
     n_edges = jnp.sum(valid_g.astype(jnp.int32))
     n_edge_drop = jnp.maximum(n_edges - EB, 0)
 
@@ -105,7 +120,7 @@ def build_problem(cfg: FrontendConfig, rig: StereoRig, wmap: WorldMap) -> Tuple[
     n_dropped = jnp.sum((is_first & overflow).astype(jnp.int32)) + n_edge_drop
 
     tgt = jnp.where(is_first & ~overflow, slot, LA)
-    active_ids = jnp.full((LA + 1,), -1, jnp.int32).at[tgt].set(s)[:LA]
+    active_ids = jnp.full((LA + 1,), -1, jnp.int32).at[tgt].set(lm_s)[:LA]
     point_valid = active_ids >= 0
     points = wmap.lm_pos[jnp.maximum(active_ids, 0)]
 
@@ -171,7 +186,7 @@ def ba_step(
     problem, counts = build_problem(cfg, rig, wmap)
     lm_cfg = lm_ops.LMConfig(
         iterations=ba_cfg.iterations, strategy=ba_cfg.strategy,
-        linear_solver=ba_cfg.linear_solver,
+        linear_solver=ba_cfg.linear_solver, trace=ba_cfg.trace,
     )
     if solve_fn is None:
         state, res = lm_ops.solve_ba(
@@ -180,6 +195,12 @@ def ba_step(
         )
     else:
         state, res = solve_fn(problem.graph, problem.poses, problem.points, lm_cfg)
+        if ba_cfg.trace and res.trace.shape[0] != ba_cfg.iterations:
+            # Injected solvers may not record a trace; keep the output pytree
+            # shape stable for the caller's lax.cond branches.
+            res = res._replace(
+                trace=jnp.full((ba_cfg.iterations, 2), jnp.nan, problem.poses.dtype)
+            )
 
     # Outlier classification at the optimized state (robust chi2 per edge).
     gs = edge_soa.make_soa_graph(problem.graph, assembly=False)
@@ -223,5 +244,7 @@ def ba_step(
         n_inlier=n_in,
         n_active_landmarks=counts[0],
         n_dropped_landmarks=counts[1],
+        lam=res.lam,
+        trace=res.trace,
     )
     return wmap, stats

@@ -115,6 +115,19 @@ class KittiDataset:
                 self.ground_truth = gt
                 return
 
+    def seek(self, index: int) -> None:
+        """Reposition at `index` (checkpoint resume).  The native prefetch
+        loader streams in-order from its opening index, so seeking reopens it
+        there; the cv2/PIL path just moves the cursor."""
+        self.current_index = index
+        if self._native is not None:
+            self._native.close()
+            from legoslam_tpu.native import loader as native_loader
+
+            self._native = native_loader.PrefetchLoader(
+                self.dataset_dir, start=index, half=self.scale == 0.5
+            )
+
     def next_frame(self) -> Optional[StereoFrame]:
         """Dataset::NextFrame (dataset.cpp:53-86): None at end of sequence."""
         if self._native is not None:

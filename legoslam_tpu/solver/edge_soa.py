@@ -62,6 +62,14 @@ class SoABlocks(NamedTuple):
 def make_soa_graph(graph: schur.BAGraph, assembly: bool = True) -> GraphSoA:
     """Derive the SoA constants. `assembly=False` skips the (E, L) landmark
     one-hot (only needed by `soa_build`, not the chi/residual paths)."""
+    if graph.exts.shape[0] != 2:
+        # `_edge_core` blends the per-edge extrinsic as a linear interpolation
+        # of exts[0]/exts[1] by e_cam — only valid for a 2-camera rig with
+        # e_cam in {0, 1}.  Other rigs must use engine="blocks".
+        raise ValueError(
+            f"SoA engine supports exactly 2 cameras, got {graph.exts.shape[0]}; "
+            "use solve_ba(..., engine='blocks')"
+        )
     K = graph.pose_fixed.shape[0]
     L = graph.point_valid.shape[0]
     dtype = graph.e_uv.dtype

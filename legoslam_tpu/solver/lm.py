@@ -36,6 +36,9 @@ class LMConfig(NamedTuple):
     init_lambda: float = -1.0        # <0: compute from Hessian diagonal
     max_diag_cap: float = 5e10       # problem.cpp:494
     linear_solver: str = "cholesky"  # "cholesky" | "pcg" (problem.cpp:377-422)
+    trace: bool = False              # record per-iteration (chi, lambda) like
+                                     # the reference's solve printout
+                                     # (problem.cpp:180-184)
 
 
 class LMFunctions(NamedTuple):
@@ -62,6 +65,10 @@ class LMResult(NamedTuple):
     lam: jnp.ndarray
     iterations: jnp.ndarray
     attempts: jnp.ndarray
+    # (iterations, 2) per-outer-iteration [chi, lambda] when LMConfig.trace,
+    # else (0, 2) — the reference's "iter/chi/lambda" solve log
+    # (problem.cpp:180-184) as data instead of stdout.
+    trace: jnp.ndarray = jnp.zeros((0, 2))
 
 
 def lm_optimize(fns: LMFunctions, state0: Any, cfg: LMConfig) -> LMResult:
@@ -88,6 +95,7 @@ def lm_optimize(fns: LMFunctions, state0: Any, cfg: LMConfig) -> LMResult:
         false_cnt=jnp.asarray(0, jnp.int32),
         attempts=jnp.asarray(0, jnp.int32),
         stop=jnp.asarray(False),
+        trace=jnp.full((cfg.iterations if cfg.trace else 0, 2), jnp.nan, dtype),
     )
 
     def cond(c):
@@ -132,6 +140,13 @@ def lm_optimize(fns: LMFunctions, state0: Any, cfg: LMConfig) -> LMResult:
         # reference, the comparison uses last_chi from the previous outer step.
         stop_n = outer_done & (c["last_chi"] - chi_n < cfg.diff_chi_threshold)
         last_chi_n = jnp.where(outer_done, chi_n, c["last_chi"])
+        trace_n = c["trace"]
+        if cfg.trace:
+            row = jnp.stack([chi_n, c["lam"]]).astype(trace_n.dtype)
+            idx = jnp.clip(c["it"], 0, cfg.iterations - 1)
+            trace_n = jnp.where(
+                outer_done, trace_n.at[idx].set(row), trace_n
+            )
         return dict(
             state=state_n,
             aux=aux_n,
@@ -143,11 +158,13 @@ def lm_optimize(fns: LMFunctions, state0: Any, cfg: LMConfig) -> LMResult:
             false_cnt=jnp.where(outer_done, 0, false_n).astype(jnp.int32),
             attempts=c["attempts"] + 1,
             stop=stop_n,
+            trace=trace_n,
         )
 
     out = jax.lax.while_loop(cond, body, carry0)
     return LMResult(state=out["state"], chi=out["chi"], lam=out["lam"],
-                    iterations=out["it"], attempts=out["attempts"])
+                    iterations=out["it"], attempts=out["attempts"],
+                    trace=out["trace"])
 
 
 # ---------------------------------------------------------------------------

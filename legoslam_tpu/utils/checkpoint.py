@@ -33,8 +33,15 @@ def _flatten(tree) -> Tuple[list, Any]:
     return leaves, treedef
 
 
-def save_pytree(path: str, tree, meta: Optional[Dict[str, Any]] = None) -> None:
-    """Write any pytree of arrays to `path` (.npz, compressed)."""
+def save_pytree(path: str, tree, meta: Optional[Dict[str, Any]] = None) -> str:
+    """Write any pytree of arrays to `path` (.npz, compressed).
+
+    `np.savez_compressed` appends ``.npz`` when the suffix is missing, which
+    would make a later `load_pytree(path)` miss the file — so the path is
+    normalized here and the actual path written is returned.
+    """
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     leaves, _ = _flatten(tree)
     blobs = {f"leaf_{i:04d}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
     blobs["__meta__"] = np.frombuffer(
@@ -44,6 +51,16 @@ def save_pytree(path: str, tree, meta: Optional[Dict[str, Any]] = None) -> None:
         dtype=np.uint8,
     )
     np.savez_compressed(path, **blobs)
+    return path
+
+
+def _normalize_path(path: str) -> str:
+    """Accept both `f` and `f.npz` spellings at load time."""
+    import os
+
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        return path + ".npz"
+    return path
 
 
 def load_pytree(path: str, template) -> Tuple[Any, Dict[str, Any]]:
@@ -52,7 +69,7 @@ def load_pytree(path: str, template) -> Tuple[Any, Dict[str, Any]]:
     Every leaf must match the template's shape and dtype exactly; capacity
     or config drift between save and load fails loudly here.
     """
-    data = np.load(path)
+    data = np.load(_normalize_path(path))
     meta = json.loads(bytes(data["__meta__"]).decode("utf-8"))
     if meta["schema"] != SCHEMA_VERSION:
         raise ValueError(f"checkpoint schema {meta['schema']} != {SCHEMA_VERSION}")
@@ -85,11 +102,16 @@ def save_vo_checkpoint(path: str, vo) -> None:
     if vo.carry is None:
         raise ValueError("VO has processed no frames; nothing to checkpoint")
     outputs = [jax.device_get(o) for o in vo.outputs]
+    trace_len = 0
+    if outputs and outputs[0].ba is not None:
+        trace_len = int(np.asarray(outputs[0].ba.trace).shape[0])
     user = {
         "frame_ids": [int(i) for i in vo.frame_ids],
         "n_outputs": len(outputs),
         "image_shape": list(vo.carry.pyr_last[0].shape),
         "next_index": int(getattr(vo.dataset, "current_index", 0)),
+        "has_ba_stats": bool(outputs and outputs[0].ba is not None),
+        "ba_trace_len": trace_len,
     }
     save_pytree(path, (vo.carry, outputs), meta=user)
 
@@ -100,20 +122,48 @@ def load_vo_checkpoint(path: str, vo) -> None:
 
     if vo.frontend_cfg is None:
         raise ValueError("call vo.init() before loading a checkpoint")
+    path = _normalize_path(path)
     probe = np.load(path)
     user = json.loads(bytes(probe["__meta__"]).decode("utf-8"))["user"]
     carry_t = vo_mod.initial_carry(vo.frontend_cfg, tuple(user["image_shape"]))
+    ba_t = None
+    if user.get("has_ba_stats", False):
+        from legoslam_tpu.pipeline.backend import BAStats
+
+        i0 = np.asarray(0, np.int32)
+        f0 = np.asarray(0.0, np.float32)
+        ba_t = BAStats(
+            chi=f0, iterations=i0, n_outlier=i0, n_inlier=i0,
+            n_active_landmarks=i0, n_dropped_landmarks=i0, lam=f0,
+            trace=np.zeros((int(user.get("ba_trace_len", 0)), 2), np.float32),
+        )
     out_t = vo_mod.FrameOutput(
         T_cw=np.zeros((4, 4), np.float32),
         status=np.asarray(0, np.int32),
         kf_inserted=np.asarray(False),
         n_inliers=np.asarray(0, np.int32),
         ba_chi=np.asarray(0.0, np.float32),
+        n_tracked=np.asarray(0, np.int32),
+        n_new_landmarks=np.asarray(0, np.int32),
+        ba=ba_t,
     )
     template = (carry_t, [out_t] * user["n_outputs"])
     (carry, outputs), user2 = load_pytree(path, template)
     vo.carry = jax.device_put(carry)
     vo.outputs = list(outputs)
     vo.frame_ids = list(user2["frame_ids"])
-    if hasattr(vo.dataset, "current_index"):
-        vo.dataset.current_index = int(user2.get("next_index", 0))
+    # Reposition the dataset at the next unprocessed frame.  Setting
+    # `current_index` alone is NOT enough for KittiDataset's native prefetch
+    # loader (its worker queue was opened at start=0 and ignores the
+    # attribute) — the dataset must support an explicit seek; anything else
+    # would silently reprocess from frame 0 and corrupt the resumed run.
+    next_index = int(user2.get("next_index", 0))
+    if hasattr(vo.dataset, "seek"):
+        vo.dataset.seek(next_index)
+    elif hasattr(vo.dataset, "current_index"):
+        vo.dataset.current_index = next_index
+    else:
+        raise ValueError(
+            f"dataset {type(vo.dataset).__name__} cannot seek to frame "
+            f"{next_index}; resume requires a seek() or current_index"
+        )

@@ -69,6 +69,9 @@ DEFAULTS: Dict[str, Any] = {
     # --- misc ---
     "min_dis_th": 0.2,             # map.cpp:56 keyframe eviction distance
     "sing_ratio_threshold": 1e-3,  # algorithm.h:14
+    # --- observability (frontend_lego.cpp:87,152,230; problem.cpp:180-184) ---
+    "log_every_n_frames": 0,       # 0 = silent; N logs per-frame counters every N frames
+    "ba_trace": False,             # record per-iteration chi/lambda of each BA solve
 }
 
 

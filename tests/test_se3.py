@@ -64,8 +64,9 @@ def test_retract_nan_guard(rng):
         jnp.full((6,), 0.25, jnp.float32),
     ])
     out = np.asarray(se3.retract(T, d))
-    np.testing.assert_allclose(out[0], np.asarray(T[0]), atol=0)
-    np.testing.assert_allclose(out[1], np.asarray(T[1]), atol=0)
+    # retract re-projects onto SO(3), so "unchanged" is up to machine epsilon.
+    np.testing.assert_allclose(out[0], np.asarray(T[0]), atol=1e-6)
+    np.testing.assert_allclose(out[1], np.asarray(T[1]), atol=1e-6)
     assert not np.allclose(out[2], np.asarray(T[2]))
 
 
@@ -118,3 +119,33 @@ def test_jit_and_vmap(rng):
     np.testing.assert_allclose(np.asarray(f(xi)), np.asarray(se3.se3_exp(xi)), atol=1e-7)
     g = jax.vmap(se3.se3_log)
     np.testing.assert_allclose(np.asarray(g(se3.se3_exp(xi))), np.asarray(xi), rtol=1e-3, atol=1e-4)
+
+
+def test_so3_project_restores_manifold(rng):
+    """so3_project must pull a skewed near-rotation back to SO(3), and iterated
+    compose+retract cycles must not accumulate orthonormality error (the
+    round-1 long-horizon collapse: skew grew x2.4/frame through the
+    rel = T_new @ inv(T_cur) feedback)."""
+    R = np.asarray(se3.se3_exp(random_xi(rng, 8))[:, :3, :3])
+    skew = R * (1.0 + rng.normal(size=(8, 3, 3)) * 3e-3)
+    Rp = np.asarray(se3.so3_project(jnp.asarray(skew, jnp.float32)), np.float64)
+    err = np.abs(Rp @ Rp.transpose(0, 2, 1) - np.eye(3)).max()
+    assert err < 1e-6, err
+    # Projection of an exact rotation is (nearly) the identity map.
+    Rp2 = np.asarray(se3.so3_project(jnp.asarray(R, jnp.float32)), np.float64)
+    np.testing.assert_allclose(Rp2, R, atol=1e-5)
+
+
+def test_pose_composition_stays_on_manifold(rng):
+    """Emulate 200 frames of the VO pose recurrence in float32; without the
+    projection in retract this diverges off SO(3) within ~20 iterations."""
+    T_cur = jnp.eye(4, dtype=jnp.float32)
+    rel = jnp.eye(4, dtype=jnp.float32)
+    for i in range(200):
+        T_prior = se3.se3_orthonormalize(rel @ T_cur)
+        dx = jnp.asarray(rng.normal(size=6) * 0.02, jnp.float32)
+        T_new = se3.retract(T_prior, dx)
+        rel = se3.se3_orthonormalize(T_new @ se3.se3_inv(T_cur))
+        T_cur = T_new
+    R = np.asarray(T_cur[:3, :3], np.float64)
+    assert np.abs(R.T @ R - np.eye(3)).max() < 1e-5
