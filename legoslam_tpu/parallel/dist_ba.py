@@ -1,19 +1,33 @@
 """Distributed sliding-window BA over a device mesh.
 
 The BASELINE north star: partition the BA problem across chips and reduce the
-Schur system with collectives over ICI.  Edges (observations) shard across
-the mesh axis; every device computes the residual/Jacobian/robust-weight
-terms and partial Hessian blocks for its edge shard, `psum` assembles the
-full block system, and the (small) reduced pose solve runs replicated so the
-LM control flow stays in lockstep on every device — the while_loop predicate
-is a psum'd scalar, identical everywhere.
+Schur system with collectives over ICI.  Round-2 redesign: the sharded path
+now runs the *same component-major SoA engine* as the single-chip fast path
+(solver/edge_soa.py) — production and distributed execute identical math —
+and shards BOTH problem dimensions:
 
-This mirrors the structure of the reference's OpenMP-parallel Hessian
-assembly (problem.cpp:282-284) scaled from 4 threads to a TPU slice: the
-assembly fan-out is where the work is; the 6Kx6K pose solve is negligible.
+- **Edges** (observations) shard across the mesh axis for the assembly
+  contractions: every device computes residual/Jacobian/robust-weight
+  components and partial packed Hessian blocks for its edge shard, then one
+  `psum` assembles the full normal equations.  This is the reference's
+  OpenMP-parallel `buildHessian` (problem.cpp:282-284) scaled from 4 threads
+  to a TPU slice.
+- **Landmarks** shard for the elimination: each device takes an L/ndev slice
+  of the assembled Hll/Hpl/bl, inverts its 3x3 blocks, forms its Schur
+  outer-product contribution S_d = T1_d @ Hpl_d^T (the O(K^2 L) term), and
+  back-substitutes its landmark slice — exploiting the same per-landmark
+  independence the reference's OpenMP loop does (problem.cpp:390-400).  A
+  `psum` of the (6K, 6K) partial S and an `all_gather` of the (L/ndev, 3)
+  landmark updates are the only collectives.
 
-The landmark back-substitution is evenly sharded by construction (each
-landmark's 3x3 solve is independent, problem.cpp:396-400).
+Only the (6K)^2 damped pose solve and the LM control flow run replicated —
+the while_loop predicate is a psum'd scalar, identical everywhere — so the
+lockstep LM loop never diverges across devices.
+
+Per-LM-iteration communication: one psum of the packed blocks
+(36K + 9L + 18KL + 6K + 3L floats, ~2 MB at production caps) + one psum of
+S (36K^2, ~130 kB) + one all_gather of dx_l (3L) — negligible against the
+sharded O(E*K*L) assembly FLOPs on ICI.
 
 Usage: `solve_fn = make_dist_solve_fn(mesh)` plugs into
 `pipeline.backend.ba_step(..., solve_fn=solve_fn)`.
@@ -27,10 +41,15 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from legoslam_tpu.geometry import se3
 from legoslam_tpu.parallel.mesh import BA_AXIS
+from legoslam_tpu.solver import edge_soa
 from legoslam_tpu.solver import lm as lm_ops
 from legoslam_tpu.solver import robust, schur
 
@@ -49,13 +68,34 @@ def _pad_edges(graph: schur.BAGraph, multiple: int) -> schur.BAGraph:
     )
 
 
-def make_dist_solve_fn(mesh: Mesh, axis: str = BA_AXIS, kernel: str = robust.HUBER, delta: float = 5.991):
+def _pad_points(
+    graph: schur.BAGraph, points: jnp.ndarray, multiple: int
+) -> Tuple[schur.BAGraph, jnp.ndarray, int]:
+    """Pad the landmark dimension so it splits evenly into L/ndev slices.
+    Padded slots are point_valid=False — masked out of every edge and solved
+    to a zero update exactly like any other empty slot."""
+    L = points.shape[0]
+    pad = (-L) % multiple
+    if pad == 0:
+        return graph, points, L
+    graph = graph._replace(point_valid=jnp.pad(graph.point_valid, (0, pad)))
+    points = jnp.pad(points, ((0, pad), (0, 0)))
+    return graph, points, L
+
+
+def make_dist_solve_fn(
+    mesh: Mesh, axis: str = BA_AXIS, kernel: str = robust.HUBER, delta: float = 5.991
+):
     """Build a drop-in replacement for the single-chip LM solve in
-    `backend.ba_step` that shards edge work across `mesh`."""
+    `backend.ba_step` that shards edge + landmark work across `mesh`."""
     ndev = mesh.shape[axis]
 
     def solve_fn(graph: schur.BAGraph, poses: jnp.ndarray, points: jnp.ndarray, cfg: lm_ops.LMConfig):
         graph = _pad_edges(graph, ndev)
+        graph, points_p, L_orig = _pad_points(graph, points, ndev)
+        L = points_p.shape[0]
+        Lsh = L // ndev
+        K = poses.shape[0]
 
         edge_spec = schur.BAGraph(
             e_pose=P(axis), e_point=P(axis), e_cam=P(axis), e_uv=P(axis), e_valid=P(axis),
@@ -70,28 +110,77 @@ def make_dist_solve_fn(mesh: Mesh, axis: str = BA_AXIS, kernel: str = robust.HUB
             out_specs=(P(), P(), P(), P(), P()),
         )
         def run(g: schur.BAGraph, poses0, points0):
+            # Per-shard SoA constants: one-hots are built from the local edge
+            # shard only, so the (E/ndev, L) landmark one-hot and all edge
+            # component math shard by construction.
+            gs = edge_soa.make_soa_graph(g)
+            me = jax.lax.axis_index(axis)
+            lo = me * Lsh
+
             def psum_tree(t):
                 return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis), t)
 
+            def lslice(x, ax):
+                return jax.lax.dynamic_slice_in_dim(x, lo, Lsh, axis=ax)
+
+            pv_loc = lslice(g.point_valid, 0)
+
             def build(st: lm_ops.BAState):
-                blocks = schur.build_blocks(g, st.poses, st.points, kernel, delta)
-                blocks = psum_tree(blocks)
-                diag = jnp.concatenate(
-                    [
-                        jnp.diagonal(blocks.Hpp, axis1=-2, axis2=-1).reshape(-1),
-                        jnp.diagonal(blocks.Hll, axis1=-2, axis2=-1).reshape(-1),
-                    ]
-                )
-                return (blocks, diag)
+                # Edge-sharded assembly -> replicated packed blocks.
+                blocks = psum_tree(edge_soa.soa_build(gs, st.poses, st.points, kernel, delta))
+                return (blocks, edge_soa.soa_blocks_diag(blocks))
 
             def chi_fn(st: lm_ops.BAState):
-                return jax.lax.psum(schur.robust_chi(g, st.poses, st.points, kernel, delta), axis)
+                return jax.lax.psum(
+                    edge_soa.soa_robust_chi(gs, st.poses, st.points, kernel, delta), axis
+                )
 
             def solve_lin(aux, lam):
                 blocks, _ = aux
-                S, bs, Hll_inv = schur.schur_reduce(blocks, g.point_valid)
-                dx_p = schur.damp_and_solve(S, bs, lam, cfg.strategy)
-                dx_l = schur.back_substitute(blocks, Hll_inv, dx_p)
+                # Landmark-sharded Schur elimination (problem.cpp:380-404):
+                # this device owns landmark slots [lo, lo + Lsh).
+                Hll_loc = lslice(blocks.Hll, 1)          # (9, Lsh)
+                Hpl_loc = lslice(blocks.Hpl, 2)          # (6K, 3, Lsh)
+                bl_loc = lslice(blocks.bl, 1)            # (3, Lsh)
+                # Landmark-diagonal damping before inversion (the g2o
+                # default-build placement; schur.damp_landmark_diag).
+                diag_idx = jnp.asarray([0, 4, 8])
+                Hll_loc = Hll_loc.at[diag_idx].set(
+                    schur.damp_landmark_diag(Hll_loc[diag_idx], lam, cfg.strategy)
+                )
+                inv_loc = edge_soa._inv3x3_comps(Hll_loc, pv_loc)
+                T1_loc = jnp.stack(
+                    [
+                        sum(Hpl_loc[:, b, :] * inv_loc[b * 3 + c] for b in range(3))
+                        for c in range(3)
+                    ],
+                    axis=1,
+                )  # (6K, 3, Lsh)
+                T1f = T1_loc.reshape(6 * K, 3 * Lsh)
+                Hplf = Hpl_loc.reshape(6 * K, 3 * Lsh)
+                S_off = jax.lax.psum(T1f @ Hplf.T, axis)                 # (6K, 6K)
+                b_off = jax.lax.psum(T1f @ bl_loc.reshape(-1), axis)     # (6K,)
+                HppB = blocks.Hpp.T.reshape(K, 6, 6)
+                eyeK = jnp.eye(K, dtype=blocks.Hpp.dtype)
+                BD = (eyeK[:, None, :, None] * HppB[:, :, None, :]).reshape(6 * K, 6 * K)
+                S = BD - S_off
+                bs = blocks.bp.T.reshape(-1) - b_off
+                # Replicated small damped pose solve (problem.cpp:420).
+                dx_p = schur.damp_and_solve(S, bs, lam, cfg.strategy, method=cfg.linear_solver)
+                # Landmark-sharded back-substitution (problem.cpp:426-429).
+                rhs_loc = bl_loc - (Hplf.T @ dx_p).reshape(3, Lsh)
+                dxl_loc = jnp.stack(
+                    [sum(inv_loc[c * 3 + d] * rhs_loc[d] for d in range(3)) for c in range(3)]
+                ).T  # (Lsh, 3)
+                # Reassemble the full (L, 3) update as a psum of slot-scattered
+                # shards: invariant (replicated) on every device, which keeps
+                # the LM state invariant through the accept/reject lax.cond.
+                dx_l = jax.lax.psum(
+                    jax.lax.dynamic_update_slice(
+                        jnp.zeros((L, 3), dxl_loc.dtype), dxl_loc, (lo, 0)
+                    ),
+                    axis,
+                )
                 return (dx_p.reshape(-1, 6), dx_l)
 
             def retract_fn(st: lm_ops.BAState, dx):
@@ -105,7 +194,7 @@ def make_dist_solve_fn(mesh: Mesh, axis: str = BA_AXIS, kernel: str = robust.HUB
                 blocks, diag = aux
                 dx_p, dx_l = dx
                 flat = jnp.concatenate([dx_p.reshape(-1), dx_l.reshape(-1)])
-                b = jnp.concatenate([blocks.bp.reshape(-1), blocks.bl.reshape(-1)])
+                b = jnp.concatenate([blocks.bp.T.reshape(-1), blocks.bl.T.reshape(-1)])
                 if cfg.strategy == "strategy1":
                     return 0.5 * jnp.dot(flat, lam * diag * flat + b)
                 return 0.5 * jnp.dot(flat, lam * flat + b)
@@ -120,8 +209,8 @@ def make_dist_solve_fn(mesh: Mesh, axis: str = BA_AXIS, kernel: str = robust.HUB
             res = lm_ops.lm_optimize(fns, lm_ops.BAState(poses=poses0, points=points0), cfg)
             return res.state.poses, res.state.points, res.chi, res.lam, res.iterations
 
-        poses_n, points_n, chi, lam, iters = run(graph, poses, points)
-        state = lm_ops.BAState(poses=poses_n, points=points_n)
+        poses_n, points_n, chi, lam, iters = run(graph, poses, points_p)
+        state = lm_ops.BAState(poses=poses_n, points=points_n[:L_orig])
         res = lm_ops.LMResult(state=state, chi=chi, lam=lam, iterations=iters, attempts=iters)
         return state, res
 

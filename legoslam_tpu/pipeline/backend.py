@@ -175,6 +175,7 @@ def ba_step(
     wmap: WorldMap,
     ba_cfg: BAConfig = BAConfig(),
     solve_fn=None,
+    with_touched: bool = False,
 ) -> Tuple[WorldMap, BAStats]:
     """One full backend cycle: snapshot -> LM solve -> adaptive outlier
     rejection -> observation removal -> write-back (Backend::Optimize,
@@ -182,6 +183,10 @@ def ba_step(
 
     `solve_fn(graph, poses, points) -> (BAState, LMResult)` can be injected to
     swap the single-chip solver for the mesh-sharded one (parallel/dist_ba.py).
+
+    `with_touched=True` additionally returns the (ML,) bool mask of global
+    landmark ids this solve optimized — the async scheduler's merge needs it
+    to write back only BA-owned state (pipeline/async_backend.py).
     """
     problem, counts = build_problem(cfg, rig, wmap)
     lm_cfg = lm_ops.LMConfig(
@@ -247,4 +252,9 @@ def ba_step(
         lam=res.lam,
         trace=res.trace,
     )
+    if with_touched:
+        touched = (
+            jnp.zeros((wmap.lm_pos.shape[0],), bool).at[ids].max(pv)
+        )
+        return wmap, stats, touched
     return wmap, stats

@@ -259,13 +259,19 @@ def _inv3x3_comps(Hll: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([co00, co01, co02, co10, co11, co12, co20, co21, co22]) * inv_det
 
 
-def soa_schur_reduce(blocks: SoABlocks, point_valid: jnp.ndarray):
-    """Schur elimination of the landmark blocks (problem.cpp:380-404).
+def soa_schur_reduce(blocks: SoABlocks, point_valid: jnp.ndarray, lam=0.0, strategy: str = "default"):
+    """Schur elimination of the landmark blocks (problem.cpp:380-404), with
+    the landmark diagonal damped first (schur.damp_landmark_diag — the g2o
+    default-build placement; see that docstring for why float32 needs it).
 
-    Returns (S (6K, 6K) undamped, bs (6K,), Hll_inv (9, L))."""
+    Returns (S (6K, 6K) pose-diag-undamped, bs (6K,), damped Hll_inv (9, L))."""
     KP = blocks.Hpp.shape[1]
     L = blocks.Hll.shape[1]
-    inv = _inv3x3_comps(blocks.Hll, point_valid)  # (9, L), row-major [b*3+c]
+    diag_idx = jnp.asarray([0, 4, 8])
+    Hll_d = blocks.Hll.at[diag_idx].set(
+        schur.damp_landmark_diag(blocks.Hll[diag_idx], lam, strategy)
+    )
+    inv = _inv3x3_comps(Hll_d, point_valid)  # (9, L), row-major [b*3+c]
     # T1[m, c, :] = sum_b Hpl[m, b, :] * inv[b, c, :]
     T1 = jnp.stack(
         [sum(blocks.Hpl[:, b, :] * inv[b * 3 + c] for b in range(3)) for c in range(3)],

@@ -210,7 +210,7 @@ def solve_ba(
 
     def solve_fn(aux, lam):
         blocks, _ = aux
-        S, bs, Hll_inv = schur.schur_reduce(blocks, graph.point_valid)
+        S, bs, Hll_inv = schur.schur_reduce(blocks, graph.point_valid, lam, cfg.strategy)
         dx_p = schur.damp_and_solve(S, bs, lam, cfg.strategy, method=cfg.linear_solver)
         dx_l = schur.back_substitute(blocks, Hll_inv, dx_p)
         return (dx_p.reshape(-1, 6), dx_l)
@@ -267,7 +267,7 @@ def _solve_ba_soa(
 
     def solve_fn(aux, lam):
         blocks, _ = aux
-        S, bs, Hll_inv = edge_soa.soa_schur_reduce(blocks, graph.point_valid)
+        S, bs, Hll_inv = edge_soa.soa_schur_reduce(blocks, graph.point_valid, lam, cfg.strategy)
         dx_p = schur.damp_and_solve(S, bs, lam, cfg.strategy, method=cfg.linear_solver)
         dx_l = edge_soa.soa_back_substitute(blocks, Hll_inv, dx_p)
         return (dx_p.reshape(-1, 6), dx_l)

@@ -4,10 +4,12 @@ Re-designs `lego::Problem`'s dense pipeline (src/lego/base/problem.cpp):
 `buildHessian` (:273-358) becomes batched edge math + segment-sums into block
 arrays; `solveLinearEquation`'s Schur elimination of landmark blocks
 (:362-431) becomes a batched 3x3 block inverse plus two einsum contractions
-that land on the MXU.  The reference's pose-first/landmark-second ordering,
-its damping placement (lambda added only to the reduced pose system's
-diagonal, landmark blocks undamped), and its per-landmark diagonal-block
-inversion trick (:390-400) are all preserved.
+that land on the MXU.  The reference's pose-first/landmark-second ordering
+and its per-landmark diagonal-block inversion trick (:390-400) are
+preserved; the damping placement follows the *default* reference binary
+(g2o: full-diagonal damping, landmark blocks included — see
+`damp_landmark_diag`), not the vendored LEGO solver's pose-only placement,
+which is unstable in float32.
 
 Shapes: K poses (6 DoF each), L landmarks (3 DoF), E edges, each edge joining
 exactly one pose and one landmark through one of C camera extrinsics.  The
@@ -169,15 +171,37 @@ def _inv3x3_masked(A: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return adj * inv_det[..., None, None]
 
 
-def schur_reduce(blocks: BABlocks, point_valid: jnp.ndarray):
-    """Eliminate landmark blocks (problem.cpp:380-404).
+def damp_landmark_diag(diag: jnp.ndarray, lam, strategy: str) -> jnp.ndarray:
+    """LM damping of landmark diagonal entries.
 
-    Returns (S (6K, 6K) reduced pose system *without damping*, bs (6K,),
-    Hll_inv (L, 3, 3)) so the caller can place damping per the strategy and
-    reuse Hll_inv for back-substitution.
+    The vendored LEGO solver inverts the landmark blocks *undamped*
+    (problem.cpp:390-400, damping only H_pp_schur at :410-417) — safe in its
+    all-double arithmetic, but in float32 a weakly-constrained landmark's
+    near-singular 3x3 produces a garbage Schur term that no pose-side lambda
+    can repair (every LM step rejects, lambda escalates to overflow).  The
+    reference's *default checked-in binary* is the g2o pair
+    (src/CMakeLists.txt:10-16), and g2o's Levenberg algorithm damps every
+    vertex block including landmarks — that placement is reproduced here.
+    """
+    if strategy == "strategy1":
+        return diag + lam * diag
+    return diag + lam
+
+
+def schur_reduce(blocks: BABlocks, point_valid: jnp.ndarray, lam=0.0, strategy: str = "default"):
+    """Eliminate landmark blocks (problem.cpp:380-404), damping the landmark
+    diagonal per `damp_landmark_diag` first.
+
+    Returns (S (6K, 6K) reduced pose system — pose-diagonal damping NOT yet
+    applied, see `damp_and_solve` —, bs (6K,), Hll_inv (L, 3, 3) of the
+    *damped* blocks, reused for back-substitution).
     """
     K = blocks.Hpp.shape[0]
-    Hll_inv = _inv3x3_masked(blocks.Hll, point_valid)
+    rng3 = jnp.arange(3)
+    Hll_d = blocks.Hll.at[:, rng3, rng3].set(
+        damp_landmark_diag(blocks.Hll[:, rng3, rng3], lam, strategy)
+    )
+    Hll_inv = _inv3x3_masked(Hll_d, point_valid)
     T1 = jnp.einsum("klab,lbc->klac", blocks.Hpl, Hll_inv)      # Hpl @ Hll^-1
     S_off = jnp.einsum("klab,mlcb->kmac", T1, blocks.Hpl)       # (K, K, 6, 6)
     S = -S_off
