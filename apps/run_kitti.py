@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--max_frames", type=int, default=0, help="0 = whole sequence")
     ap.add_argument("--out_dir", default="out", help="trajectory/visualization output")
     ap.add_argument("--no_ba", action="store_true", help="disable sliding-window BA")
+    ap.add_argument("--log_every", type=int, default=0,
+                    help="log per-frame counters every N frames (0 = silent)")
+    ap.add_argument("--verbose", action="store_true",
+                    help="per-frame counters + per-iteration BA chi/lambda trace "
+                         "(the reference's problem.cpp:180-184 solver log)")
     args = ap.parse_args()
 
     from legoslam_tpu.pipeline.dataset import KittiDataset
@@ -38,6 +43,11 @@ def main():
     config = Config.from_yaml(args.config_file) if args.config_file else Config()
     if args.dataset_dir:
         config["dataset_dir"] = args.dataset_dir
+    if args.verbose:
+        config["log_every_n_frames"] = 1
+        config["ba_trace"] = True
+    elif args.log_every:
+        config["log_every_n_frames"] = args.log_every
 
     dataset = KittiDataset(config["dataset_dir"], scale=config["image_scale"])
     vo = VisualOdometry(config=config, dataset=dataset, inline_ba=not args.no_ba)

@@ -24,6 +24,11 @@ def main():
                     help="path to write a VO checkpoint (.npz) at the end of the run")
     ap.add_argument("--load_checkpoint", default="",
                     help="resume from a VO checkpoint written by --save_checkpoint")
+    ap.add_argument("--log_every", type=int, default=0,
+                    help="log per-frame counters every N frames (0 = silent)")
+    ap.add_argument("--verbose", action="store_true",
+                    help="per-frame counters + per-iteration BA chi/lambda trace "
+                         "(the reference's problem.cpp:180-184 solver log)")
     args = ap.parse_args()
 
     from legoslam_tpu.pipeline.dataset import SyntheticPlanesDataset
@@ -41,6 +46,11 @@ def main():
         "detect_mask_half": 6,
         "gftt_min_distance": 6,
     })
+    if args.verbose:
+        config["log_every_n_frames"] = 1
+        config["ba_trace"] = True
+    elif args.log_every:
+        config["log_every_n_frames"] = args.log_every
     vo = VisualOdometry(config=config, dataset=ds, inline_ba=not args.no_ba)
     assert vo.init()
     if args.load_checkpoint:
