@@ -1,0 +1,160 @@
+"""Asynchronous backend scheduling: BA overlapped with tracking.
+
+Reproduces the reference's frontend/backend asynchrony (backend_lego.cpp:
+38-54: the backend thread wakes on a condvar, optimizes a *snapshot* of the
+active map while the frontend keeps tracking, and writes results back later)
+in TPU-native form.  There are no threads and no mutexes here — the same
+three ingredients fall out of JAX's execution model:
+
+- **snapshot** — free: the world map is immutable functional state, so the
+  array handles passed to the BA program *are* the snapshot;
+- **overlap** — the BA solve is its own jitted program dispatched
+  asynchronously; tracking frame-steps keep being enqueued (and, with a
+  second device available, actually execute concurrently while BA runs
+  there — the scheduler ships the snapshot over ICI and the result back);
+- **write-back** — a jitted `merge_ba_result` reconciles the finished
+  result with however far the map has moved on (new keyframes, evictions,
+  newborn landmarks), mirroring the reference's mutexed per-object
+  SetPose/SetPos write-back (backend_lego.cpp:198-217).
+
+The host never blocks: completion is detected by polling `jax.Array
+.is_ready()` on cheap scalars.  Keyframe events are consumed with the same
+non-blocking poll on each frame output's `kf_inserted` flag, so the device
+pipeline stays as deep as in inline mode.  Like the reference — whose
+condvar notify is lost if the backend is mid-solve — a keyframe that lands
+while a solve is pending does not queue a second solve (counted in
+`stats['skipped']`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Tuple
+
+import jax
+
+from legoslam_tpu.pipeline import backend as backend_mod
+from legoslam_tpu.utils.logging import get_logger
+
+log = get_logger("legoslam.async_ba")
+
+
+def pick_ba_device(spec: str = "auto"):
+    """Resolve the device the BA program runs on.
+
+    "auto": the second local device when one exists (true overlap — tracking
+    on device 0, BA on device 1, snapshot/result shipped over the
+    interconnect), else None (same-device: BA interleaves in the FIFO stream,
+    which still removes the solve from the keyframe frame's critical path).
+    "none": force same-device.  An integer string picks that local device.
+    """
+    if spec == "none":
+        return None
+    devs = jax.local_devices()
+    if spec == "auto":
+        return devs[1] if len(devs) > 1 else None
+    idx = int(spec)
+    if idx <= 0 or idx >= len(devs):
+        return None
+    return devs[idx]
+
+
+class AsyncBackend:
+    """Host-side scheduler for one in-flight window BA.
+
+    Protocol (driven by VisualOdometry.process):
+      1. `poll(carry_wmap) -> wmap` — call at the top of every frame: if the
+         pending solve finished, dispatch the merge and return the merged
+         map (else the map unchanged).
+      2. after the frame step, `observe(output)` — registers the frame's
+         `kf_inserted` flag; consumed later without blocking.  When a
+         consumed flag is True and no solve is in flight, `want_dispatch`
+         becomes true.
+      3. if `want_dispatch`: `dispatch(carry_wmap)` — enqueue the solve on
+         the (fresh) snapshot.
+      4. `flush(carry_wmap) -> wmap` — at end of run / before checkpoint:
+         block on the pending solve and merge it.
+    """
+
+    def __init__(
+        self,
+        frontend_cfg,
+        rig,
+        ba_cfg: backend_mod.BAConfig,
+        solve_fn: Optional[Callable] = None,
+        ba_device=None,
+    ):
+        self._solve = jax.jit(
+            lambda wmap: backend_mod.solve_window(
+                frontend_cfg, rig, wmap, ba_cfg, solve_fn=solve_fn
+            )
+        )
+        self._merge = jax.jit(backend_mod.merge_ba_result)
+        self.ba_device = ba_device
+        self.pending: Optional[backend_mod.BAResult] = None
+        self._events: List[Any] = []   # un-consumed kf_inserted flags
+        self._kf_seen = False          # a consumed keyframe event awaits dispatch
+        self.stats = {"dispatched": 0, "merged": 0, "skipped": 0}
+        self.merged_stats: List[backend_mod.BAStats] = []
+
+    # --- step 1 -----------------------------------------------------------
+    def poll(self, wmap):
+        """Merge the pending result if it has finished; never blocks."""
+        if self.pending is not None and self.pending.stats.chi.is_ready():
+            return self._do_merge(wmap)
+        return wmap
+
+    # --- step 2 -----------------------------------------------------------
+    def observe(self, kf_inserted) -> None:
+        self._events.append(kf_inserted)
+        # Consume every event whose scalar has materialized (non-blocking).
+        while self._events and self._events[0].is_ready():
+            flag = self._events.pop(0)
+            if bool(flag):
+                if self.pending is None:
+                    self._kf_seen = True
+                else:
+                    # Reference behavior: a notify during an active solve is
+                    # dropped; the *next* keyframe re-triggers.
+                    self.stats["skipped"] += 1
+
+    @property
+    def want_dispatch(self) -> bool:
+        return self._kf_seen and self.pending is None
+
+    # --- step 3 -----------------------------------------------------------
+    def dispatch(self, wmap) -> None:
+        """Enqueue a window solve on the current map (the freshest snapshot —
+        the reference likewise snapshots at solve *start*, not at notify,
+        backend_lego.cpp:45-46)."""
+        assert self.pending is None
+        self._kf_seen = False
+        snap = wmap
+        if self.ba_device is not None:
+            snap = jax.device_put(snap, self.ba_device)
+        self.pending = self._solve(snap)
+        self.stats["dispatched"] += 1
+
+    # --- step 4 -----------------------------------------------------------
+    def flush(self, wmap):
+        """Drain outstanding keyframe events, then block on the in-flight
+        solve (if any) and merge it."""
+        while self._events:
+            flag = self._events.pop(0)
+            if bool(flag):  # blocks until the scalar materializes
+                if self.pending is None:
+                    self._kf_seen = True
+                else:
+                    self.stats["skipped"] += 1
+        if self.pending is not None:
+            jax.block_until_ready(self.pending.stats.chi)
+            wmap = self._do_merge(wmap)
+        return wmap
+
+    def _do_merge(self, wmap):
+        result = self.pending
+        self.pending = None
+        if self.ba_device is not None:
+            result = jax.device_put(result, wmap.kf_pose.devices().pop())
+        self.merged_stats.append(result.stats)
+        self.stats["merged"] += 1
+        return self._merge(wmap, result)

@@ -13,11 +13,12 @@ runs it in dispatch order; parallel/dist_ba.py shards it across a mesh).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
+from legoslam_tpu.geometry import se3
 from legoslam_tpu.geometry.camera import StereoRig
 from legoslam_tpu.solver import edge_soa
 from legoslam_tpu.solver import lm as lm_ops
@@ -33,6 +34,7 @@ class BAConfig(NamedTuple):
     inlier_ratio: float = 0.5
     strategy: str = "default"
     linear_solver: str = "cholesky"
+    engine: str = "soa"  # "soa" (component-major fast path) | "blocks"
     trace: bool = False  # record the per-iteration chi/lambda solve trace
 
 
@@ -55,6 +57,37 @@ class BAProblem(NamedTuple):
     points: jnp.ndarray       # (LA, 3)
     active_ids: jnp.ndarray   # (LA,) global landmark ids (-1 = empty slot)
     e_src: jnp.ndarray        # (EB,) source index into the (2, KW, NF) obs grid
+
+
+class BAResult(NamedTuple):
+    """The outcome of one window solve, *detached* from the world state.
+
+    This is the TPU equivalent of the data the reference's backend thread
+    carries out of Optimize (backend_lego.cpp:56-218): optimized poses and
+    points plus the outlier verdicts, tagged with enough snapshot identity
+    (keyframe ids, landmark ids) that `merge_ba_result` can write them back
+    into a map that has *moved on* since the snapshot — the asynchronous
+    schedule (pipeline/async_backend.py) runs tracking frames between the
+    solve and the write-back, exactly like the reference's frontend does not
+    wait for its backend (backend_lego.cpp:38-54).
+    """
+
+    # --- snapshot identity ---
+    kf_id: jnp.ndarray        # (KW,) keyframe id per slot at snapshot (-1 empty)
+    kf_frame_id: jnp.ndarray  # (KW,) source frame id (guards kf-id reuse after Reset)
+    active_ids: jnp.ndarray   # (LA,) global landmark ids optimized (-1 empty)
+    point_valid: jnp.ndarray  # (LA,) landmark slot participated in the solve
+    # --- optimized values ---
+    poses: jnp.ndarray        # (KW, 4, 4)
+    points: jnp.ndarray       # (LA, 3)
+    # --- outlier verdicts on the snapshot's (KW, NF) observation grids ---
+    out_l: jnp.ndarray        # (KW, NF) bool
+    out_r: jnp.ndarray        # (KW, NF) bool
+    stats: "BAStats"
+    # (info_S, info_b, info_T, info_kf_id): the window's pose information at
+    # the optimum (Schur-reduced, prior included) for use_marg_prior — the
+    # matrix the next eviction marginalizes.  None when the flag is off.
+    info: Any = None
 
 
 def build_problem(cfg: FrontendConfig, rig: StereoRig, wmap: WorldMap) -> Tuple[BAProblem, jnp.ndarray]:
@@ -169,34 +202,51 @@ def adaptive_chi2_threshold(
     return th
 
 
-def ba_step(
+def solve_window(
     cfg: FrontendConfig,
     rig: StereoRig,
     wmap: WorldMap,
     ba_cfg: BAConfig = BAConfig(),
     solve_fn=None,
-    with_touched: bool = False,
-) -> Tuple[WorldMap, BAStats]:
-    """One full backend cycle: snapshot -> LM solve -> adaptive outlier
-    rejection -> observation removal -> write-back (Backend::Optimize,
-    backend_lego.cpp:56-218).
+) -> BAResult:
+    """Snapshot -> LM solve -> adaptive outlier classification, *without*
+    write-back (Backend::Optimize up to backend_lego.cpp:194).
 
-    `solve_fn(graph, poses, points) -> (BAState, LMResult)` can be injected to
-    swap the single-chip solver for the mesh-sharded one (parallel/dist_ba.py).
-
-    `with_touched=True` additionally returns the (ML,) bool mask of global
-    landmark ids this solve optimized — the async scheduler's merge needs it
-    to write back only BA-owned state (pipeline/async_backend.py).
+    `solve_fn(graph, poses, points, lm_cfg) -> (BAState, LMResult)` can be
+    injected to swap the single-chip solver for the mesh-sharded one
+    (parallel/dist_ba.py).  The returned `BAResult` is applied with
+    `merge_ba_result` — immediately (`ba_step`) or after tracking has moved on
+    (pipeline/async_backend.py).
     """
     problem, counts = build_problem(cfg, rig, wmap)
     lm_cfg = lm_ops.LMConfig(
         iterations=ba_cfg.iterations, strategy=ba_cfg.strategy,
         linear_solver=ba_cfg.linear_solver, trace=ba_cfg.trace,
     )
+
+    # Marginalization prior on the window poses (problem.cpp:338-355): mask
+    # the stored sqrt-form prior onto the slots that still hold the keyframes
+    # it was built for, and weight it (use_marg_prior).
+    pose_prior = None
+    if cfg.use_marg_prior:
+        if solve_fn is not None:
+            raise ValueError("use_marg_prior is not supported with an injected solve_fn")
+        mg = wmap.marg
+        dtype = wmap.kf_pose.dtype
+        slot_ok = wmap.kf_valid & (mg.prior_kf_id >= 0) & (wmap.kf_id == mg.prior_kf_id)
+        m6 = jnp.repeat(slot_ok, 6).astype(dtype)
+        w = jnp.asarray(cfg.marg_prior_weight, dtype) ** 0.5
+        prior_J = mg.prior_J * m6[None, :] * w   # zero cols: no pull on recycled slots
+        prior_err = mg.prior_err * w
+        # Masked slots linearize at their own current pose => dx = 0 there.
+        T_lin = jnp.where(slot_ok[:, None, None], mg.prior_T, wmap.kf_pose)
+        pose_prior = (prior_J, prior_err, T_lin)
+
     if solve_fn is None:
         state, res = lm_ops.solve_ba(
             problem.graph, problem.poses, problem.points,
             kernel=robust.HUBER, delta=ba_cfg.chi2_threshold, cfg=lm_cfg,
+            engine=ba_cfg.engine, pose_prior=pose_prior,
         )
     else:
         state, res = solve_fn(problem.graph, problem.poses, problem.points, lm_cfg)
@@ -216,32 +266,13 @@ def ba_step(
     n_out = jnp.sum(outlier_edge.astype(jnp.int32))
     n_in = jnp.sum(e_valid.astype(jnp.int32)) - n_out
 
-    # Remove outlier observations (backend_lego.cpp:186-194): clear the obs
-    # flag and decrement the landmark's observation count.  Compacted edge
-    # verdicts scatter back to the (2, KW, NF) observation grid via e_src.
+    # Scatter the compacted edge verdicts back to the (2, KW, NF) observation
+    # grid via e_src (consumed in merge_ba_result, backend_lego.cpp:186-194).
     KW, NF = cfg.caps.window, cfg.caps.max_features
     out_grid = jnp.zeros((2 * KW * NF,), bool).at[problem.e_src].set(outlier_edge)
     out_l = out_grid[: KW * NF].reshape(KW, NF)
     out_r = out_grid[KW * NF :].reshape(KW, NF)
-    lm_idx = jnp.maximum(wmap.kf_lm, 0)
-    dec = out_l.astype(jnp.int32) + out_r.astype(jnp.int32)
-    lm_obs = wmap.lm_obs.at[lm_idx.reshape(-1)].add(-dec.reshape(-1))
 
-    # Write back optimized poses and landmark positions (backend_lego.cpp:198-217).
-    pv = problem.graph.point_valid
-    ids = jnp.maximum(problem.active_ids, 0)
-    lm_pos = wmap.lm_pos.at[ids].set(
-        jnp.where(pv[:, None], state.points, wmap.lm_pos[ids])
-    )
-    kf_pose = jnp.where(wmap.kf_valid[:, None, None], state.poses, wmap.kf_pose)
-
-    wmap = wmap._replace(
-        kf_pose=kf_pose,
-        lm_pos=lm_pos,
-        lm_obs=lm_obs,
-        kf_obs_left=wmap.kf_obs_left & ~out_l,
-        kf_obs_right=wmap.kf_obs_right & ~out_r,
-    )
     stats = BAStats(
         chi=res.chi,
         iterations=res.iterations,
@@ -252,9 +283,110 @@ def ba_step(
         lam=res.lam,
         trace=res.trace,
     )
-    if with_touched:
-        touched = (
-            jnp.zeros((wmap.lm_pos.shape[0],), bool).at[ids].max(pv)
+
+    # Window pose information at the optimum for the next eviction to
+    # marginalize (use_marg_prior): undamped Schur-reduced system + the prior
+    # itself, so information accumulates recursively across evictions.
+    info = None
+    if cfg.use_marg_prior:
+        gi = edge_soa.make_soa_graph(problem.graph)
+        blocks_f = edge_soa.soa_build(
+            gi, state.poses, state.points, robust.HUBER, ba_cfg.chi2_threshold
         )
-        return wmap, stats, touched
-    return wmap, stats
+        S_f, b_f, _ = edge_soa.soa_schur_reduce(
+            blocks_f, problem.graph.point_valid, 0.0, "default"
+        )
+        prior_J, prior_err, T_lin = pose_prior
+        dx = se3.se3_log(state.poses @ se3.se3_inv(T_lin)).reshape(-1)
+        r_p = prior_err + prior_J @ dx
+        S_f = S_f + prior_J.T @ prior_J
+        b_f = b_f - prior_J.T @ r_p
+        info = (S_f, b_f, state.poses, wmap.kf_id)
+
+    return BAResult(
+        kf_id=wmap.kf_id,
+        kf_frame_id=wmap.kf_frame_id,
+        active_ids=problem.active_ids,
+        point_valid=problem.graph.point_valid,
+        poses=state.poses,
+        points=state.points,
+        out_l=out_l,
+        out_r=out_r,
+        stats=stats,
+        info=info,
+    )
+
+
+def merge_ba_result(wmap: WorldMap, result: BAResult) -> WorldMap:
+    """Write a `BAResult` back into a (possibly newer) world map.
+
+    The write-back of Backend::Optimize (backend_lego.cpp:186-217), made safe
+    against the map having changed since the snapshot — the exact situation
+    the reference handles with per-object mutexes while its frontend keeps
+    inserting keyframes.  Reconciliation rules:
+
+    - keyframe poses: applied only where the window slot still holds the same
+      keyframe (kf_id AND kf_frame_id match; frame ids are globally monotonic,
+      so this also guards keyframe-id reuse across a LOST Reset);
+    - landmark positions: applied only to landmarks the solve optimized that
+      are still alive;
+    - outlier observation removal: applied only on matching slots and only to
+      observations still registered, so the lm_obs decrement can never
+      double-fire or hit a recycled lane.
+
+    Applying a result to the unchanged snapshot map is exactly the reference's
+    synchronous write-back (`ba_step`).
+    """
+    slot_match = (
+        wmap.kf_valid
+        & (result.kf_id >= 0)
+        & (wmap.kf_id == result.kf_id)
+        & (wmap.kf_frame_id == result.kf_frame_id)
+    )
+    kf_pose = jnp.where(slot_match[:, None, None], result.poses, wmap.kf_pose)
+
+    ids = jnp.maximum(result.active_ids, 0)
+    ok = result.point_valid & (result.active_ids >= 0) & wmap.lm_alive[ids]
+    # Inactive slots are routed out of bounds and dropped: clipping them to a
+    # real index would make that row's final value depend on scatter order
+    # (duplicate-index .set is unspecified) whenever the row is also a real
+    # write target.
+    ML = wmap.lm_pos.shape[0]
+    lm_pos = wmap.lm_pos.at[jnp.where(ok, result.active_ids, ML)].set(
+        result.points, mode="drop"
+    )
+
+    out_l = result.out_l & slot_match[:, None] & wmap.kf_obs_left
+    out_r = result.out_r & slot_match[:, None] & wmap.kf_obs_right
+    lm_idx = jnp.maximum(wmap.kf_lm, 0)
+    dec = out_l.astype(jnp.int32) + out_r.astype(jnp.int32)
+    lm_obs = wmap.lm_obs.at[lm_idx.reshape(-1)].add(-dec.reshape(-1))
+
+    marg = wmap.marg
+    if result.info is not None:
+        S_f, b_f, T_f, kf_id_f = result.info
+        marg = marg._replace(info_S=S_f, info_b=b_f, info_T=T_f, info_kf_id=kf_id_f)
+
+    return wmap._replace(
+        kf_pose=kf_pose,
+        lm_pos=lm_pos,
+        lm_obs=lm_obs,
+        kf_obs_left=wmap.kf_obs_left & ~out_l,
+        kf_obs_right=wmap.kf_obs_right & ~out_r,
+        marg=marg,
+    )
+
+
+def ba_step(
+    cfg: FrontendConfig,
+    rig: StereoRig,
+    wmap: WorldMap,
+    ba_cfg: BAConfig = BAConfig(),
+    solve_fn=None,
+) -> Tuple[WorldMap, BAStats]:
+    """One full *synchronous* backend cycle: snapshot -> LM solve -> adaptive
+    outlier rejection -> observation removal -> write-back (Backend::Optimize,
+    backend_lego.cpp:56-218) — `solve_window` + an immediate `merge_ba_result`.
+    """
+    result = solve_window(cfg, rig, wmap, ba_cfg, solve_fn=solve_fn)
+    return merge_ba_result(wmap, result), result.stats

@@ -211,9 +211,15 @@ class SyntheticPlanesDataset:
         length: float = 120.0,
         half_width: float = 8.0,
         ground_y: float = 1.6,
+        trajectory: Optional[np.ndarray] = None,
     ):
+        """`trajectory`: optional (N, 4, 4) T_wc array overriding the default
+        forward-with-yaw path — e.g. an out-and-back loop for loop-closure
+        tests (the renderer draws any pose in the corridor world)."""
         H, W = shape
         self.shape = shape
+        if trajectory is not None:
+            n_frames = len(trajectory)
         self.n_frames = n_frames
         self.seed = seed
         self.length = length
@@ -227,19 +233,22 @@ class SyntheticPlanesDataset:
             left=Camera.create(focal, focal, W / 2.0, H / 2.0, baseline),
             right=Camera.create(focal, focal, W / 2.0, H / 2.0, baseline, pose=right_pose),
         )
-        self.gt_T_wc = []
-        pos = np.zeros(3)
-        yaw = 0.0
-        for _ in range(n_frames):
-            c, s = np.cos(yaw), np.sin(yaw)
-            R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
-            T = np.eye(4)
-            T[:3, :3] = R
-            T[:3, 3] = pos
-            self.gt_T_wc.append(T.copy())
-            pos = pos + R @ np.array([0.0, 0.0, speed])
-            yaw += curve
-        self.gt_T_wc = np.stack(self.gt_T_wc)
+        if trajectory is not None:
+            self.gt_T_wc = np.asarray(trajectory, np.float64)
+        else:
+            self.gt_T_wc = []
+            pos = np.zeros(3)
+            yaw = 0.0
+            for _ in range(n_frames):
+                c, s = np.cos(yaw), np.sin(yaw)
+                R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+                T = np.eye(4)
+                T[:3, :3] = R
+                T[:3, 3] = pos
+                self.gt_T_wc.append(T.copy())
+                pos = pos + R @ np.array([0.0, 0.0, speed])
+                yaw += curve
+            self.gt_T_wc = np.stack(self.gt_T_wc)
         self.current_index = 0
 
     def _render(self, T_wc: np.ndarray, cam) -> np.ndarray:

@@ -69,6 +69,14 @@ class FrontendConfig(NamedTuple):
     # frontend.h:100 — but a long keyframe-less stretch lets the tracked set
     # age into a far-field/FOE-concentrated, z-degenerate geometry).
     max_keyframe_gap: int = 1_000_000
+    # Fold evicted keyframes' information into a prior on the surviving
+    # window poses (lego::Problem::marginalize, problem.cpp:617-781 — shipped
+    # but never invoked by the reference pipeline, which discards on
+    # eviction, map.cpp:34-86).  The prior is the recursive linearized kind
+    # (VINS-style): re-observed landmarks overlap with it, so the weight
+    # tempers double-counted information.
+    use_marg_prior: bool = False
+    marg_prior_weight: float = 1.0
 
     @staticmethod
     def from_config(cfg) -> "FrontendConfig":
@@ -116,6 +124,8 @@ class FrontendConfig(NamedTuple):
             max_keyframe_gap=int(cfg["max_keyframe_gap"]),
             track_mode=cfg["track_mode"],
             track_min_zncc=float(cfg["track_min_zncc"]),
+            use_marg_prior=bool(cfg["use_marg_prior"]),
+            marg_prior_weight=float(cfg["marg_prior_weight"]),
         )
 
 
@@ -223,10 +233,13 @@ def detect_features(cfg: FrontendConfig, img: jnp.ndarray, feats: Features) -> F
     n_live = compact.count()
     tgt = n_live + jnp.arange(pos.shape[0], dtype=jnp.int32)
     put = dvalid & (tgt < nf)
-    tgt = jnp.where(put, tgt, nf - 1)  # dummy writes collapse onto last slot
-    uv = compact.uv.at[tgt].set(jnp.where(put[:, None], pos, compact.uv[tgt]))
-    valid = compact.valid.at[tgt].set(jnp.where(put, True, compact.valid[tgt]))
-    lmv = compact.lm.at[tgt].set(jnp.where(put, -1, compact.lm[tgt]))
+    # Dummy writes go out of bounds and are dropped — collapsing them onto a
+    # real slot would race a genuine write to that slot (duplicate-index .set
+    # order is unspecified).
+    tgt = jnp.where(put, tgt, nf)
+    uv = compact.uv.at[tgt].set(pos, mode="drop")
+    valid = compact.valid.at[tgt].set(True, mode="drop")
+    lmv = compact.lm.at[tgt].set(-1, mode="drop")
     return compact._replace(
         uv=uv,
         uv_r=jnp.zeros_like(uv),
@@ -307,14 +320,13 @@ def triangulate_new_points(
     new_id = wmap.lm_next + rank
     in_cap = new_id < cfg.caps.landmarks
     put = accept & in_cap
-    idx = jnp.where(put, new_id, cfg.caps.landmarks - 1)
-    lm_pos = wmap.lm_pos.at[idx].set(jnp.where(put[:, None], p_world, wmap.lm_pos[idx]))
-    lm_alive = wmap.lm_alive.at[idx].set(jnp.where(put, True, wmap.lm_alive[idx]))
-    lm_active = wmap.lm_active.at[idx].set(jnp.where(put, True, wmap.lm_active[idx]))
+    # Rejected lanes scatter out of bounds and are dropped (a clipped dummy
+    # index would race a real write to that slot when the table is near full).
+    idx = jnp.where(put, new_id, cfg.caps.landmarks)
+    lm_pos = wmap.lm_pos.at[idx].set(p_world, mode="drop")
+    lm_alive = wmap.lm_alive.at[idx].set(True, mode="drop")
     n_new = jnp.sum(put.astype(jnp.int32))
-    wmap = wmap._replace(
-        lm_pos=lm_pos, lm_alive=lm_alive, lm_active=lm_active, lm_next=wmap.lm_next + n_new
-    )
+    wmap = wmap._replace(lm_pos=lm_pos, lm_alive=lm_alive, lm_next=wmap.lm_next + n_new)
     feats = feats._replace(lm=jnp.where(put, new_id, feats.lm))
     return feats, wmap, put
 
@@ -341,16 +353,45 @@ def _evict_if_full(cfg: FrontendConfig, wmap: WorldMap, T_cur: jnp.ndarray) -> W
     lm_idx = jnp.maximum(wmap.kf_lm[evict], 0)
     dec = obs_l.astype(jnp.int32) + obs_r.astype(jnp.int32)
     lm_obs = wmap.lm_obs.at[lm_idx].add(-dec)
-    # CleanMap (map.cpp:88-100): active landmarks with zero observations leave
-    # the active set (they stay alive in the global table for the viewer).
-    lm_active = wmap.lm_active & (lm_obs > 0)
+    # CleanMap (map.cpp:88-100) needs no explicit step: "active" is *derived*
+    # as lm_alive & (lm_obs > 0) (state.WorldMap.lm_active_mask), so landmarks
+    # whose count just hit zero leave the active set by definition (they stay
+    # alive in the global table for the viewer).
+
+    # use_marg_prior: instead of discarding the evicted keyframe's
+    # information, marginalize its 6 coordinates out of the window's pose
+    # information at the last BA linearization (wmap.marg.info_*) and keep
+    # the Schur complement as a sqrt-form prior on the survivors
+    # (problem.cpp:617-781, which the reference ships but never calls).
+    if cfg.use_marg_prior:
+        from legoslam_tpu.solver import marginalization
+
+        mg = wmap.marg
+        KW = wmap.kf_valid.shape[0]
+        # Only coordinates whose slot still holds the keyframe the info was
+        # linearized for participate; stale slots zero out (their information
+        # is lost, exactly like the baseline eviction).
+        slot_ok = (mg.info_kf_id >= 0) & (mg.info_kf_id == wmap.kf_id) & wmap.kf_valid
+        m6 = jnp.repeat(slot_ok, 6).astype(wmap.kf_pose.dtype)
+        S = mg.info_S * m6[:, None] * m6[None, :]
+        b = mg.info_b * m6
+        marg_mask = jnp.repeat(jnp.arange(KW) == evict, 6)
+        factor = marginalization.marginalize(S, b, marg_mask, 6)
+        prior_kf_id = jnp.where(slot_ok & (jnp.arange(KW) != evict), mg.info_kf_id, -1)
+        wmap = wmap._replace(
+            marg=mg._replace(
+                prior_J=jnp.where(full, factor.sqrt_J, mg.prior_J),
+                prior_err=jnp.where(full, factor.err, mg.prior_err),
+                prior_T=jnp.where(full, mg.info_T, mg.prior_T),
+                prior_kf_id=jnp.where(full, prior_kf_id, mg.prior_kf_id),
+            )
+        )
 
     def clear(slot_arr, fill):
         return slot_arr.at[evict].set(jnp.where(full, fill, slot_arr[evict]))
 
     return wmap._replace(
         lm_obs=lm_obs,
-        lm_active=jnp.where(full, lm_active, wmap.lm_active),
         kf_valid=clear(wmap.kf_valid, False),
         kf_id=clear(wmap.kf_id, -1),
         kf_frame_id=clear(wmap.kf_frame_id, -1),

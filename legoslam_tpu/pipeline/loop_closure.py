@@ -1,0 +1,245 @@
+"""Minimal loop closure: keyframe place recognition -> KLT + pose-solve
+verification -> pose-graph correction.
+
+The reference declares this its north-star TODO (CMakeLists.txt:74-77) and
+ships only the optimizer shell; this module supplies the missing pipeline:
+
+- **place recognition**: every keyframe keeps a tiny normalized thumbnail;
+  candidates are past keyframes (outside the sliding window) whose thumbnail
+  ZNCC against the new keyframe clears a threshold.  One matvec per keyframe.
+- **geometric verification**: the candidate keyframe's stored features are
+  KLT-tracked into the new keyframe's image (the same batched pyramid GN as
+  tracking, ops/klt.py) with forward-backward gating, then a motion-only
+  pose solve (solver/lm.py solve_pose — EdgeProjectionPoseOnly, the same
+  machinery as frontend pose estimation) against the candidate's stored
+  landmark positions measures the loop transform; accept on inlier count.
+- **correction**: a pose graph over the keyframe trajectory — odometry edges
+  from consecutive stored poses, loop edges from verified closures — is
+  optimized (solver/pose_graph.py), and the live world (current pose, window
+  keyframes, landmarks) is re-anchored rigidly by the newest keyframe's
+  correction.
+
+Everything device-side is fixed-shape and jitted once (the verify program and
+the pose-graph solve recompile only when the keyframe count crosses its
+capacity-rounding boundary).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legoslam_tpu.geometry import se3
+from legoslam_tpu.ops import klt as klt_ops
+from legoslam_tpu.ops import pyramid as pyr_ops
+from legoslam_tpu.solver import lm as lm_ops
+from legoslam_tpu.solver import pose_graph, reprojection, robust
+from legoslam_tpu.utils.logging import get_logger
+
+log = get_logger("legoslam.loop")
+
+THUMB = (12, 20)  # thumbnail grid (rows, cols)
+
+
+@dataclass
+class KeyframeRecord:
+    """Host-side snapshot of one keyframe at insertion time."""
+
+    frame_id: int
+    T_cw: np.ndarray        # (4, 4) pose at insertion (drifted odometry)
+    thumb: np.ndarray       # THUMB, zero-mean unit-norm
+    img: np.ndarray         # (H/2, W/2) half-resolution left image
+    uv: np.ndarray          # (M, 2) feature positions in the half-res image
+    p_world: np.ndarray     # (M, 3) landmark positions at insertion
+    n_feats: int
+
+
+def make_thumbnail(img: np.ndarray) -> np.ndarray:
+    """Block-mean downsample to THUMB, normalized for ZNCC."""
+    H, W = img.shape
+    th, tw = THUMB
+    ys = (H // th) * th
+    xs = (W // tw) * tw
+    t = img[:ys, :xs].reshape(th, ys // th, tw, xs // tw).mean(axis=(1, 3))
+    t = t - t.mean()
+    n = np.linalg.norm(t)
+    return (t / n if n > 1e-6 else t).astype(np.float32)
+
+
+@dataclass
+class LoopConfig:
+    zncc_min: float = 0.85       # thumbnail score gate
+    min_gap: int = 10            # candidate must be this many keyframes older
+    min_inliers: int = 25        # verified 3D-2D inliers to accept
+    chi2_threshold: float = 5.991
+    odom_weight: float = 1.0
+    loop_weight: float = 20.0
+    klt: klt_ops.KLTConfig = field(default_factory=lambda: klt_ops.KLTConfig(levels=3))
+    fb_threshold: float = 0.8    # forward-backward gate (half-res px)
+    max_feats: int = 256         # fixed verify lane count
+    pg_iterations: int = 15
+
+
+class LoopCloser:
+    """Host-side loop-closure driver (used by VisualOdometry or standalone)."""
+
+    def __init__(self, rig, cfg: LoopConfig = LoopConfig()):
+        self.cfg = cfg
+        # Half-resolution camera for verification (uv and intrinsics / 2).
+        self.intr = reprojection.Intrinsics(
+            fx=rig.left.fx * 0.5, fy=rig.left.fy * 0.5,
+            cx=rig.left.cx * 0.5, cy=rig.left.cy * 0.5,
+        )
+        self.records: List[KeyframeRecord] = []
+        self.loop_edges: List[Tuple[int, int, np.ndarray]] = []  # (i_new, j_old, M_ij)
+        self.stats = {"candidates": 0, "verified": 0, "closures": 0}
+        self._verify_fn = jax.jit(self._verify_device)
+
+    # ------------------------------------------------------------------
+    def add_keyframe(
+        self, frame_id: int, img_full: np.ndarray, T_cw: np.ndarray,
+        uv: np.ndarray, p_world: np.ndarray,
+    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Register a new keyframe.  If a loop closes, returns
+        (corrected (N, 4, 4) keyframe trajectory,
+         G (4, 4) world-to-world correction: p' = G p for map points,
+         Q' = Q G^-1 for live camera-from-world poses); else None."""
+        img = img_full[::2, ::2].astype(np.float32)
+        M = self.cfg.max_feats
+        uv_p = np.zeros((M, 2), np.float32)
+        pw_p = np.zeros((M, 3), np.float32)
+        n = min(len(uv), M)
+        uv_p[:n] = uv[:n] * 0.5
+        pw_p[:n] = p_world[:n]
+        rec = KeyframeRecord(
+            frame_id=frame_id, T_cw=np.asarray(T_cw, np.float64),
+            thumb=make_thumbnail(img), img=img, uv=uv_p, p_world=pw_p, n_feats=n,
+        )
+        self.records.append(rec)
+        j = self._detect()
+        if j is None:
+            return None
+        self.stats["candidates"] += 1
+        ok, M_ij, n_in = self._verify(j)
+        if not ok:
+            log.info("loop: candidate kf%d->kf%d rejected (%d inliers)",
+                     len(self.records) - 1, j, n_in)
+            return None
+        self.stats["verified"] += 1
+        i = len(self.records) - 1
+        self.loop_edges.append((i, j, M_ij))
+        log.info("loop: closing kf%d -> kf%d (%d inliers)", i, j, n_in)
+        T_old_last = self.records[-1].T_cw.copy()
+        corrected = self._optimize()
+        # World-to-world correction from the newest keyframe: x_c = T p_old =
+        # T' p_new  =>  p_new = T'^-1 T p_old.
+        G = np.linalg.inv(corrected[-1]) @ T_old_last
+        self.stats["closures"] += 1
+        return corrected, G
+
+    def reset(self) -> None:
+        """Tracking was LOST and the map wiped; stored poses are no longer in
+        one frame, so drop the place-recognition history."""
+        self.records.clear()
+        self.loop_edges.clear()
+
+    # ------------------------------------------------------------------
+    def _detect(self) -> Optional[int]:
+        """Best past keyframe by thumbnail ZNCC, outside the recent window."""
+        n = len(self.records)
+        if n - 1 - self.cfg.min_gap < 0:
+            return None
+        cur = self.records[-1].thumb.reshape(-1)
+        past = np.stack([r.thumb.reshape(-1) for r in self.records[: n - self.cfg.min_gap]])
+        scores = past @ cur
+        j = int(np.argmax(scores))
+        if scores[j] < self.cfg.zncc_min:
+            return None
+        return j
+
+    # ------------------------------------------------------------------
+    def _verify_device(self, pyr_j, pyr_i, uv_j, valid, p_world, T_init):
+        """KLT j->i with forward-backward gating, then a robust pose solve on
+        the surviving 3D-2D pairs (frontend_g2o.cpp:157-245's machinery)."""
+        cfg = self.cfg
+        uv_i, conv = klt_ops.klt_pyramid(pyr_j, pyr_i, uv_j, uv_j, cfg.klt)
+        uv_b, conv_b = klt_ops.klt_pyramid(pyr_i, pyr_j, uv_i, uv_i, cfg.klt)
+        fb_ok = jnp.linalg.norm(uv_b - uv_j, axis=-1) < cfg.fb_threshold
+        ok = valid & conv & conv_b & fb_ok
+
+        T = T_init
+        inlier = ok
+        # 4 reweighting rounds (frontend_g2o.cpp:199-227).
+        for _ in range(4):
+            T, _ = lm_ops.solve_pose(
+                self.intr, T, p_world, uv_i, inlier,
+                kernel=robust.HUBER, delta=cfg.chi2_threshold,
+                cfg=lm_ops.LMConfig(iterations=10),
+            )
+            r, _ = reprojection.pose_only_edge(self.intr, T, p_world, uv_i)
+            chi = jnp.sum(r * r, axis=-1)
+            inlier = ok & (chi <= cfg.chi2_threshold)
+        return T, jnp.sum(inlier.astype(jnp.int32))
+
+    def _verify(self, j: int) -> Tuple[bool, np.ndarray, int]:
+        rec_i = self.records[-1]
+        rec_j = self.records[j]
+        cfg = self.cfg
+        pyr_j = tuple(pyr_ops.build_pyramid(jnp.asarray(rec_j.img), cfg.klt.levels))
+        pyr_i = tuple(pyr_ops.build_pyramid(jnp.asarray(rec_i.img), cfg.klt.levels))
+        valid = jnp.arange(cfg.max_feats) < rec_j.n_feats
+        T_loop, n_in = self._verify_fn(
+            pyr_j, pyr_i, jnp.asarray(rec_j.uv), valid,
+            jnp.asarray(rec_j.p_world), jnp.asarray(rec_j.T_cw, jnp.float32),
+        )
+        n_in = int(n_in)
+        if n_in < cfg.min_inliers:
+            return False, np.eye(4), n_in
+        # Loop measurement M_ij = T_i T_j^-1 with T_i measured as T_loop (the
+        # new keyframe's pose expressed in the candidate's epoch).
+        M = np.asarray(T_loop, np.float64) @ np.linalg.inv(rec_j.T_cw)
+        return True, M, n_in
+
+    # ------------------------------------------------------------------
+    def _optimize(self) -> np.ndarray:
+        """Pose graph over all stored keyframes: odometry + loop edges."""
+        n = len(self.records)
+        poses = np.stack([r.T_cw for r in self.records]).astype(np.float32)
+        e_i, e_j, T_m, w = [], [], [], []
+        for k in range(n - 1):
+            e_i.append(k + 1)
+            e_j.append(k)
+            T_m.append(poses[k + 1] @ np.linalg.inv(poses[k]))
+            w.append(self.cfg.odom_weight)
+        for (i, j, M) in self.loop_edges:
+            e_i.append(i)
+            e_j.append(j)
+            T_m.append(M.astype(np.float32))
+            w.append(self.cfg.loop_weight)
+        E = len(e_i)
+        fixed = np.zeros((n,), bool)
+        fixed[0] = True
+        graph = pose_graph.PoseGraph(
+            e_i=jnp.asarray(e_i, jnp.int32),
+            e_j=jnp.asarray(e_j, jnp.int32),
+            T_meas=jnp.asarray(np.stack(T_m), jnp.float32),
+            weight=jnp.asarray(w, jnp.float32),
+            valid=jnp.ones((E,), bool),
+            fixed=jnp.asarray(fixed),
+        )
+        opt, _ = pose_graph.optimize(
+            jnp.asarray(poses), graph,
+            cfg=lm_ops.LMConfig(iterations=self.cfg.pg_iterations),
+        )
+        corrected = np.asarray(opt, np.float64)
+        # Orthonormalize and persist the corrected poses as the new odometry
+        # anchor for future edges.
+        for k, rec in enumerate(self.records):
+            U, _, Vt = np.linalg.svd(corrected[k, :3, :3])
+            corrected[k, :3, :3] = U @ np.diag([1, 1, np.linalg.det(U @ Vt)]) @ Vt
+            rec.T_cw = corrected[k].copy()
+        return corrected

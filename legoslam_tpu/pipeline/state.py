@@ -67,13 +67,59 @@ class Features(NamedTuple):
         return jnp.sum(self.valid.astype(jnp.int32))
 
 
+class MargState(NamedTuple):
+    """Marginalization bookkeeping for the sliding window (optional — active
+    only under `use_marg_prior`; zeros otherwise).
+
+    The reference carries the same machinery in `lego::Problem`
+    (H_prior_/b_prior_, problem.cpp:617-781, applied :338-355) but its SLAM
+    pipeline never invokes it — window eviction just discards information
+    (map.cpp:34-86).  Here eviction can fold the evicted keyframe's
+    information into a square-root prior over the surviving window poses.
+
+    `prior_*` is the active prior consumed by the next BA solves; `info_*` is
+    the window's pose information (Schur-reduced, prior included) at the last
+    BA linearization — the matrix the *next* eviction marginalizes.  Both are
+    slot-aligned with the keyframe window and tagged by kf_id so recycled
+    slots mask out.
+    """
+
+    prior_J: jnp.ndarray      # (KW*6, KW*6) sqrt-form prior Jacobian (H = J^T J)
+    prior_err: jnp.ndarray    # (KW*6,) linearized prior residual
+    prior_T: jnp.ndarray      # (KW, 4, 4) linearization poses
+    prior_kf_id: jnp.ndarray  # (KW,) which keyframe each slot's prior refers to (-1 none)
+    info_S: jnp.ndarray       # (KW*6, KW*6) last BA pose information
+    info_b: jnp.ndarray       # (KW*6,)
+    info_T: jnp.ndarray       # (KW, 4, 4)
+    info_kf_id: jnp.ndarray   # (KW,)
+
+    @staticmethod
+    def empty(caps: "Capacities", dtype=jnp.float32) -> "MargState":
+        kw = caps.window
+
+        # Distinct arrays per leaf: aliased leaves break donate_argnums
+        # ("attempt to donate the same buffer twice").
+        def eye():
+            return jnp.broadcast_to(jnp.eye(4, dtype=dtype), (kw, 4, 4))
+
+        return MargState(
+            prior_J=jnp.zeros((kw * 6, kw * 6), dtype),
+            prior_err=jnp.zeros((kw * 6,), dtype),
+            prior_T=eye(),
+            prior_kf_id=jnp.full((kw,), -1, jnp.int32),
+            info_S=jnp.zeros((kw * 6, kw * 6), dtype),
+            info_b=jnp.zeros((kw * 6,), dtype),
+            info_T=eye(),
+            info_kf_id=jnp.full((kw,), -1, jnp.int32),
+        )
+
+
 class WorldMap(NamedTuple):
     """Landmark table + keyframe window (the reference `Map`)."""
 
     # --- landmarks (global table) ---
     lm_pos: jnp.ndarray       # (ML, 3) world position
     lm_alive: jnp.ndarray     # (ML,) created and not reset
-    lm_active: jnp.ndarray    # (ML,) in the active (windowed) set
     lm_obs: jnp.ndarray       # (ML,) int32 registered window observations
     lm_next: jnp.ndarray      # () int32 allocation cursor
     # --- keyframe window ---
@@ -88,6 +134,8 @@ class WorldMap(NamedTuple):
     kf_lm: jnp.ndarray        # (KW, NF) int32 landmark id, -1 = none
     kf_obs_left: jnp.ndarray  # (KW, NF) left obs registered for BA
     kf_obs_right: jnp.ndarray  # (KW, NF) right obs registered (only at birth kf)
+    # --- marginalization prior (zeros unless use_marg_prior) ---
+    marg: "MargState"
 
     @staticmethod
     def empty(caps: Capacities, dtype=jnp.float32) -> "WorldMap":
@@ -95,7 +143,6 @@ class WorldMap(NamedTuple):
         return WorldMap(
             lm_pos=jnp.zeros((ml, 3), dtype),
             lm_alive=jnp.zeros((ml,), bool),
-            lm_active=jnp.zeros((ml,), bool),
             lm_obs=jnp.zeros((ml,), jnp.int32),
             lm_next=jnp.asarray(0, jnp.int32),
             kf_pose=jnp.broadcast_to(jnp.eye(4, dtype=dtype), (kw, 4, 4)),
@@ -108,7 +155,16 @@ class WorldMap(NamedTuple):
             kf_lm=jnp.full((kw, nf), -1, jnp.int32),
             kf_obs_left=jnp.zeros((kw, nf), bool),
             kf_obs_right=jnp.zeros((kw, nf), bool),
+            marg=MargState.empty(caps, dtype),
         )
 
     def num_keyframes(self) -> jnp.ndarray:
         return jnp.sum(self.kf_valid.astype(jnp.int32))
+
+    def lm_active_mask(self) -> jnp.ndarray:
+        """THE definition of "active landmark" (the reference MapPoint active
+        flag + Map::CleanMap invariant, map.cpp:88-100): alive with at least
+        one registered window observation.  Derived — never stored — so it
+        cannot drift from the observation grid the BA problem is built from
+        (backend.build_problem groups that same grid by landmark id)."""
+        return self.lm_alive & (self.lm_obs > 0)

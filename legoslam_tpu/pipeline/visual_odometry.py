@@ -218,6 +218,29 @@ def process_frame(
     return jax.lax.switch(branch_idx, [branch_init, branch_track, branch_lost], (carry,))
 
 
+def _apply_world_correction(carry: VOCarry, G: jnp.ndarray) -> VOCarry:
+    """Re-anchor the live world after a loop closure (pipeline/loop_closure.py):
+    map points p' = G p, camera-from-world poses Q' = Q G^-1; the relative
+    motion model and feature tables are frame-local and unaffected."""
+    G_inv = se3.se3_inv(G)
+    R, t = G[:3, :3], G[:3, 3]
+    wmap = carry.wmap
+    lm_pos = jnp.where(wmap.lm_alive[:, None], wmap.lm_pos @ R.T + t[None, :], wmap.lm_pos)
+    kf_pose = jnp.where(
+        wmap.kf_valid[:, None, None],
+        se3.se3_orthonormalize(wmap.kf_pose @ G_inv),
+        wmap.kf_pose,
+    )
+    marg = wmap.marg._replace(
+        prior_T=se3.se3_orthonormalize(wmap.marg.prior_T @ G_inv),
+        info_T=se3.se3_orthonormalize(wmap.marg.info_T @ G_inv),
+    )
+    return carry._replace(
+        wmap=wmap._replace(lm_pos=lm_pos, kf_pose=kf_pose, marg=marg),
+        T_cur=se3.se3_orthonormalize(carry.T_cur @ G_inv),
+    )
+
+
 class VisualOdometry:
     """Host-side driver (the reference's `VisualOdometry` API)."""
 
@@ -228,11 +251,23 @@ class VisualOdometry:
         dataset: Any = None,
         inline_ba: bool = True,
         ba_solve_fn=None,
+        ba_mode: Optional[str] = None,
     ):
         self.config = config or (Config.from_yaml(config_path) if config_path else Config())
         self.dataset = dataset
-        self.inline_ba = inline_ba
+        # Scheduling mode: "inline" folds BA into the keyframe branch of the
+        # fused frame step; "async" overlaps a detached solve with tracking
+        # (pipeline/async_backend.py, the reference's thread split); "off"
+        # disables BA.  `inline_ba` is the legacy bool spelling.
+        if ba_mode is None:
+            ba_mode = self.config["ba_mode"] if inline_ba else "off"
+        if ba_mode not in ("inline", "async", "off"):
+            raise ValueError(f"unknown ba_mode {ba_mode!r}")
+        self.ba_mode = ba_mode
+        self.inline_ba = ba_mode == "inline"
         self.ba_solve_fn = ba_solve_fn
+        self.async_backend = None
+        self.loop_closer = None
         self.frontend_cfg: Optional[frontend_mod.FrontendConfig] = None
         self.rig: Optional[StereoRig] = None
         self.carry: Optional[VOCarry] = None
@@ -258,6 +293,7 @@ class VisualOdometry:
             inlier_ratio=self.config["ba_inlier_ratio"],
             strategy=self.config["lm_strategy"],
             linear_solver=self.config["linear_solver"],
+            engine=self.config["lm_engine"],
             trace=bool(self.config["ba_trace"]),
         )
         self.log_every = int(self.config["log_every_n_frames"])
@@ -270,6 +306,26 @@ class VisualOdometry:
             )
 
         self._step_fn = jax.jit(step, donate_argnums=(0,))
+        if self.ba_mode == "async":
+            from legoslam_tpu.pipeline.async_backend import AsyncBackend, pick_ba_device
+
+            self.async_backend = AsyncBackend(
+                cfg, rig, ba_cfg, solve_fn=self.ba_solve_fn,
+                ba_device=pick_ba_device(str(self.config["ba_async_device"])),
+            )
+        if bool(self.config["use_loop_closure"]):
+            from legoslam_tpu.pipeline.loop_closure import LoopCloser, LoopConfig
+
+            self.loop_closer = LoopCloser(
+                rig,
+                LoopConfig(
+                    zncc_min=float(self.config["loop_zncc_min"]),
+                    min_gap=int(self.config["loop_min_gap"]),
+                    min_inliers=int(self.config["loop_min_inliers"]),
+                    loop_weight=float(self.config["loop_edge_weight"]),
+                ),
+            )
+            self._apply_correction = jax.jit(_apply_world_correction, donate_argnums=(0,))
         self.carry = None
         self.outputs = []
         self.frame_ids = []
@@ -290,9 +346,21 @@ class VisualOdometry:
         img_r = jnp.asarray(frame.right, jnp.float32)
         if self.carry is None:
             self.carry = initial_carry(self.frontend_cfg, frame.left.shape)
+        ab = self.async_backend
+        if ab is not None:
+            # Merge a finished solve before this frame tracks (non-blocking).
+            merged = ab.poll(self.carry.wmap)
+            if merged is not self.carry.wmap:
+                self.carry = self.carry._replace(wmap=merged)
         self.carry, out = self._step_fn(
             self.carry, img_l, img_r, jnp.asarray(frame.frame_id, jnp.int32)
         )
+        if ab is not None:
+            ab.observe(out.kf_inserted)
+            if ab.want_dispatch:
+                ab.dispatch(self.carry.wmap)
+        if self.loop_closer is not None:
+            self._loop_hook(frame, out)
         self.outputs.append(out)
         self.frame_ids.append(frame.frame_id)
         if self.log_every > 0 and len(self.outputs) % self.log_every == 0:
@@ -336,6 +404,7 @@ class VisualOdometry:
         n = 0
         while self.step():
             n += 1
+        self.flush_ba()
         total_ms = t_total.toc(block_on=self.carry)
         if n:
             log.info("VO: %d frames in %.1f ms (%.2f ms/frame, %.1f FPS)",
@@ -352,6 +421,64 @@ class VisualOdometry:
                     "capacity limits — results may be degraded; raise "
                     "max_active_landmarks / max_ba_edges", dropped,
                 )
+
+    def _loop_hook(self, frame: StereoFrame, out: FrameOutput) -> None:
+        """Feed the loop closer on keyframe events; apply corrections.
+
+        Reads `kf_inserted` synchronously — loop closure is an opt-in host
+        feature and place recognition needs the keyframe's host-side image
+        anyway.  (This is the reference's north-star TODO, CMakeLists:74-77.)
+        """
+        lc = self.loop_closer
+        if int(out.status) == int(FrontendStatus.LOST):
+            lc.reset()
+            return
+        if not bool(out.kf_inserted):
+            return
+        feats = self.carry.feats
+        sel = np.asarray(feats.valid & (feats.lm >= 0))
+        uv = np.asarray(feats.uv)[sel]
+        ids = np.asarray(feats.lm)[sel]
+        p_world = np.asarray(self.carry.wmap.lm_pos)[ids]
+        result = lc.add_keyframe(
+            frame.frame_id, np.asarray(frame.left), np.asarray(out.T_cw), uv, p_world
+        )
+        if result is not None:
+            _, G = result
+            if self.async_backend is not None:
+                # An in-flight solve was linearized in the old world frame;
+                # settle it before re-anchoring.
+                self.carry = self.carry._replace(
+                    wmap=self.async_backend.flush(self.carry.wmap)
+                )
+            self.carry = self._apply_correction(self.carry, jnp.asarray(G, jnp.float32))
+
+    def keyframe_trajectory(self):
+        """(frame_ids, T_cw (N, 4, 4)) over keyframes — loop-corrected when
+        loop closure is on."""
+        lc = self.loop_closer
+        if lc is None or not lc.records:
+            return [], np.zeros((0, 4, 4))
+        ids = [r.frame_id for r in lc.records]
+        return ids, np.stack([r.T_cw for r in lc.records])
+
+    def flush_ba(self) -> None:
+        """Settle the asynchronous backend: merge any in-flight solve, and run
+        one final solve if a keyframe event is still awaiting dispatch (the
+        reference's backend likewise drains its last UpdateMap before Stop)."""
+        ab = self.async_backend
+        if ab is None or self.carry is None:
+            return
+        wmap = ab.flush(self.carry.wmap)
+        if ab.want_dispatch:
+            ab.dispatch(wmap)
+            wmap = ab.flush(wmap)
+        self.carry = self.carry._replace(wmap=wmap)
+        log.info(
+            "async BA: %d solves dispatched, %d merged, %d keyframe events "
+            "coalesced while busy",
+            ab.stats["dispatched"], ab.stats["merged"], ab.stats["skipped"],
+        )
 
     # --- results ---
     def frontend_status(self) -> FrontendStatus:
@@ -374,6 +501,7 @@ class VisualOdometry:
     def save_checkpoint(self, path: str) -> None:
         from legoslam_tpu.utils import checkpoint
 
+        self.flush_ba()  # an in-flight solve is not serializable state
         checkpoint.save_vo_checkpoint(path, self)
 
     def load_checkpoint(self, path: str) -> None:

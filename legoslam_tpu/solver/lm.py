@@ -185,15 +185,28 @@ def solve_ba(
     delta: float = 5.991,
     cfg: LMConfig = LMConfig(),
     engine: str = "soa",
+    pose_prior=None,
 ) -> Tuple[BAState, LMResult]:
     """Sliding-window BA: the TPU equivalent of `Backend::Optimize`'s
     `problem.solve(10)` call (backend_lego.cpp:161) over the active window.
 
     engine="soa" uses the component-major fast path (solver/edge_soa.py);
     "blocks" keeps the original block-tensor pipeline (solver/schur.py).
-    Both produce the same optimum (tests/test_edge_soa.py)."""
+    Both produce the same optimum (tests/test_edge_soa.py).
+
+    pose_prior: optional (sqrt_J (6K, 6K), err0 (6K,), T_lin (K, 4, 4)) —
+    a linearized marginalization prior on the poses (problem.cpp:338-355):
+    residual r_p(x) = err0 + sqrt_J * log(T x T_lin^-1), added to the reduced
+    pose system each iteration with the first-order b update of
+    problem.cpp:447-453.  SoA engine only.
+    """
     if engine == "soa":
-        return _solve_ba_soa(graph, poses, points, kernel=kernel, delta=delta, cfg=cfg)
+        return _solve_ba_soa(
+            graph, poses, points, kernel=kernel, delta=delta, cfg=cfg,
+            pose_prior=pose_prior,
+        )
+    if pose_prior is not None:
+        raise NotImplementedError("pose_prior requires engine='soa'")
 
     def build(st: BAState):
         blocks = schur.build_blocks(graph, st.poses, st.points, kernel, delta)
@@ -252,22 +265,46 @@ def _solve_ba_soa(
     kernel: str,
     delta: float,
     cfg: LMConfig,
+    pose_prior=None,
 ) -> Tuple[BAState, LMResult]:
     """solve_ba on the component-major engine (see solver/edge_soa.py)."""
     from legoslam_tpu.solver import edge_soa
 
     gs = edge_soa.make_soa_graph(graph)
 
+    if pose_prior is not None:
+        prior_J, prior_err0, prior_T = pose_prior
+        prior_H = prior_J.T @ prior_J
+        T_lin_inv = se3.se3_inv(prior_T)
+
+        def prior_res(st: BAState) -> jnp.ndarray:
+            # r_p = err0 + J * dx with dx the manifold offset from the
+            # linearization poses, matching retract's exp(dx)*T convention.
+            dx = se3.se3_log(st.poses @ T_lin_inv).reshape(-1)
+            return prior_err0 + prior_J @ dx
+    else:
+        prior_H = None
+
     def build(st: BAState):
         blocks = edge_soa.soa_build(gs, st.poses, st.points, kernel, delta)
-        return (blocks, edge_soa.soa_blocks_diag(blocks))
+        # First-order prior b at this linearization: -J^T r_p  (the running
+        # update of problem.cpp:447-453, recomputed exactly instead).
+        bprior = -(prior_J.T @ prior_res(st)) if prior_H is not None else None
+        return (blocks, edge_soa.soa_blocks_diag(blocks), bprior)
 
     def chi_fn(st: BAState):
-        return edge_soa.soa_robust_chi(gs, st.poses, st.points, kernel, delta)
+        chi = edge_soa.soa_robust_chi(gs, st.poses, st.points, kernel, delta)
+        if prior_H is not None:
+            r = prior_res(st)
+            chi = chi + 0.5 * jnp.dot(r, r)
+        return chi
 
     def solve_fn(aux, lam):
-        blocks, _ = aux
+        blocks, _, bprior = aux
         S, bs, Hll_inv = edge_soa.soa_schur_reduce(blocks, graph.point_valid, lam, cfg.strategy)
+        if prior_H is not None:
+            S = S + prior_H
+            bs = bs + bprior
         dx_p = schur.damp_and_solve(S, bs, lam, cfg.strategy, method=cfg.linear_solver)
         dx_l = edge_soa.soa_back_substitute(blocks, Hll_inv, dx_p)
         return (dx_p.reshape(-1, 6), dx_l)
@@ -280,10 +317,13 @@ def _solve_ba_soa(
         return BAState(poses=poses_n, points=points_n)
 
     def dot_scale(aux, dx, lam):
-        blocks, diag = aux
+        blocks, diag, bprior = aux
         dx_p, dx_l = dx
         flat = jnp.concatenate([dx_p.reshape(-1), dx_l.reshape(-1)])
-        b = jnp.concatenate([blocks.bp.T.reshape(-1), blocks.bl.T.reshape(-1)])
+        bp = blocks.bp.T.reshape(-1)
+        if prior_H is not None:
+            bp = bp + bprior
+        b = jnp.concatenate([bp, blocks.bl.T.reshape(-1)])
         if cfg.strategy == "strategy1":
             return 0.5 * jnp.dot(flat, lam * diag * flat + b)
         return 0.5 * jnp.dot(flat, lam * flat + b)

