@@ -33,6 +33,21 @@ class KLTConfig(NamedTuple):
     levels: int = 4            # algorithm.cpp:135
     scale: float = 0.5         # algorithm.cpp:136
     inverse: bool = False      # forward mode default (frontend_g2o.cpp:473)
+    # "auto": fused Pallas level kernel on TPU, XLA ops elsewhere;
+    # "xla" / "pallas" force one path (ops/klt_pallas.py).
+    backend: str = "auto"
+
+
+def _use_pallas(cfg: "KLTConfig") -> bool:
+    if cfg.backend == "pallas":
+        return True
+    if cfg.backend == "xla":
+        return False
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        return False
+    return platform in ("tpu", "axon")
 
 
 def _gn_loop(iterations: int, body, init):
@@ -169,8 +184,25 @@ def klt_pyramid(
     kp1_pyr = kp1 * scale_top
     kp2_pyr = kp2_init * scale_top
     success = valid
+    if _use_pallas(cfg):
+        from legoslam_tpu.ops import interp, klt_pallas
+
+        def level_fn(img1, img2, kp1l, kp2l, v):
+            # The fused kernel takes the (fixed) reference patch as a halo
+            # template — for frame-to-frame tracking that template is just
+            # img1 sampled at kp1, exactly klt_level's p1/big1.
+            halo = 2 * cfg.half_patch + 3
+            anchor = interp.sample_patches(img1, kp1l, halo)
+            return klt_pallas.klt_level_anchored_pallas(
+                anchor, img2, kp1l, kp2l, v,
+                patch=2 * cfg.half_patch + 1, iterations=cfg.iterations,
+                eps=cfg.eps, inverse=cfg.inverse,
+            )
+    else:
+        def level_fn(img1, img2, kp1l, kp2l, v):
+            return klt_level(img1, img2, kp1l, kp2l, v, cfg)
     for level in range(levels - 1, -1, -1):
-        kp2_pyr, success = klt_level(pyr1[level], pyr2[level], kp1_pyr, kp2_pyr, valid, cfg)
+        kp2_pyr, success = level_fn(pyr1[level], pyr2[level], kp1_pyr, kp2_pyr, valid)
         if level > 0:
             # Upscale; failed lanes restart from kp1 at the next level
             # (algorithm.cpp:192-201).
@@ -301,9 +333,22 @@ def klt_pyramid_anchored(
     kp2_pyr = kp2_init * scale_top
     guess_pyr = kp2_init * scale_top
     success = valid
+    use_pallas = _use_pallas(cfg)
+    if use_pallas:
+        from legoslam_tpu.ops import klt_pallas
+
+        def level_fn(anchor, img2, kp1, kp2, v):
+            return klt_pallas.klt_level_anchored_pallas(
+                anchor, img2, kp1, kp2, v,
+                patch=2 * cfg.half_patch + 1, iterations=cfg.iterations,
+                eps=cfg.eps, inverse=cfg.inverse,
+            )
+    else:
+        def level_fn(anchor, img2, kp1, kp2, v):
+            return klt_level_anchored(anchor, img2, kp1, kp2, v, cfg)
     for level in range(levels - 1, -1, -1):
-        kp2_pyr, success = klt_level_anchored(
-            anchors[:, level], pyr2[level], kp1_pyr, kp2_pyr, valid, cfg
+        kp2_pyr, success = level_fn(
+            anchors[:, level], pyr2[level], kp1_pyr, kp2_pyr, valid
         )
         if level > 0:
             kp1_pyr = kp1_pyr / cfg.scale

@@ -286,7 +286,9 @@ class SyntheticPlanesDataset:
         ]
         for axis, offset, (ta, tb), salt in planes:
             dn = d_world[..., axis]
-            t = np.where(np.abs(dn) > 1e-9, (offset - origin[axis]) / dn, np.inf)
+            safe = np.abs(dn) > 1e-9
+            t = np.full_like(dn, np.inf)
+            np.divide(offset - origin[axis], dn, out=t, where=safe)
             pts = origin[None, None, :] + t[..., None] * d_world
             ok = (t > 0.05) & (t < best_t)
             # stay within the corridor box

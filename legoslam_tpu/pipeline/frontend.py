@@ -111,6 +111,7 @@ class FrontendConfig(NamedTuple):
                 levels=cfg["klt_pyramid_levels"],
                 scale=cfg["klt_pyramid_scale"],
                 inverse=cfg["klt_inverse"],
+                backend=cfg["klt_backend"],
             ),
             chi2_threshold=float(cfg["chi2_threshold"]),
             pose_outer_iterations=cfg["pose_outer_iterations"],
@@ -188,17 +189,38 @@ def estimate_current_pose(
     reset (:236-242).  Returns (T, feats', num_inliers)."""
     edge_valid = feats.valid & (feats.lm >= 0)
     p_world = _safe_gather_lm(lm_pos, feats.lm)
-    T, inlier, n_in = lm_ops.estimate_pose(
-        _intr(rig),
-        T_prior,
-        p_world,
-        feats.uv,
-        edge_valid,
-        chi2_th=cfg.chi2_threshold,
-        outer_iterations=cfg.pose_outer_iterations,
-        exclude_outliers=cfg.pose_exclude_outliers,
-        cfg=lm_ops.LMConfig(iterations=cfg.pose_solver_iterations),
-    )
+    use_pallas = klt_ops._use_pallas(cfg.klt)
+    if use_pallas:
+        # The fused whole-solve kernel needs concrete intrinsics (they become
+        # compile-time constants); rigs are always built host-side, but fall
+        # back to the XLA path if a test traces them.
+        try:
+            intr_f = tuple(float(x) for x in (rig.left.fx, rig.left.fy, rig.left.cx, rig.left.cy))
+        except Exception:
+            use_pallas = False
+    if use_pallas:
+        from legoslam_tpu.solver import pose_pallas
+
+        T, inlier, n_in = pose_pallas.estimate_pose_pallas(
+            T_prior, p_world, feats.uv, edge_valid,
+            fx=intr_f[0], fy=intr_f[1], cx=intr_f[2], cy=intr_f[3],
+            chi2_th=float(cfg.chi2_threshold),
+            iterations=cfg.pose_solver_iterations,
+            outer_iterations=cfg.pose_outer_iterations,
+            exclude_outliers=cfg.pose_exclude_outliers,
+        )
+    else:
+        T, inlier, n_in = lm_ops.estimate_pose(
+            _intr(rig),
+            T_prior,
+            p_world,
+            feats.uv,
+            edge_valid,
+            chi2_th=cfg.chi2_threshold,
+            outer_iterations=cfg.pose_outer_iterations,
+            exclude_outliers=cfg.pose_exclude_outliers,
+            cfg=lm_ops.LMConfig(iterations=cfg.pose_solver_iterations),
+        )
     # Outlier features lose their landmark but remain usable (frontend_g2o.cpp:236-242).
     new_lm = jnp.where(edge_valid & ~inlier, -1, feats.lm)
     return T, feats._replace(lm=new_lm), n_in

@@ -38,6 +38,7 @@ DEFAULTS: Dict[str, Any] = {
     "klt_pyramid_scale": 0.5,
     "klt_inverse": False,          # frontend_g2o.cpp:473: forward mode default
     "klt_eps": 1e-2,
+    "klt_backend": "auto",         # auto|pallas|xla (ops/klt_pallas.py kernel)
     # forward-backward verification (no reference analogue; 0 disables)
     "stereo_fb_threshold": 0.6,
     "track_fb_threshold": 0.8,

@@ -24,26 +24,35 @@ N_FRAMES = 40        # bench.py N_FRAMES
 
 
 def main():
+    # The renderer is pure NumPy; keep JAX off the accelerator (this script
+    # may run while a bench/profile process owns the TPU).
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/legoslam_ref_frames.bin"
     from legoslam_tpu.pipeline.dataset import SyntheticPlanesDataset
 
+    H, W = SHAPE
+    cache = f"/tmp/legoslam_bench_{H}x{W}_{N_FRAMES}.npz"  # bench.load_frames cache
     ds = SyntheticPlanesDataset(
         n_frames=N_FRAMES, shape=SHAPE, focal=360.0, baseline=0.54, speed=0.12,
         half_width=10.0, length=200.0,
     )
     ds.init()
     cam = ds.rig.left
-    H, W = SHAPE
-    with open(out, "wb") as f:
-        f.write(struct.pack("<4i", N_FRAMES, H, W, 0))
-        f.write(struct.pack("<5d", float(cam.fx), float(cam.fy), float(cam.cx),
-                            float(cam.cy), float(cam.baseline)))
+    if os.path.exists(cache):
+        data = np.load(cache)
+        frames = list(zip(data["left"], data["right"]))
+    else:
+        frames = []
         for _ in range(N_FRAMES):
             fr = ds.next_frame()
-            left = np.clip(np.asarray(fr.left), 0, 255).astype(np.uint8)
-            right = np.clip(np.asarray(fr.right), 0, 255).astype(np.uint8)
-            f.write(left.tobytes())
-            f.write(right.tobytes())
+            frames.append((fr.left, fr.right))
+    with open(out, "wb") as f:
+        f.write(struct.pack("<4i", len(frames), H, W, 0))
+        f.write(struct.pack("<5d", float(cam.fx), float(cam.fy), float(cam.cx),
+                            float(cam.cy), float(cam.baseline)))
+        for left, right in frames:
+            f.write(np.clip(np.asarray(left), 0, 255).astype(np.uint8).tobytes())
+            f.write(np.clip(np.asarray(right), 0, 255).astype(np.uint8).tobytes())
     print(out)
 
 

@@ -79,3 +79,34 @@ def test_kitti_rig_parsing():
     # right extrinsic is a pure translation along -x
     t = np.asarray(rig.right.pose)[:3, 3]
     np.testing.assert_allclose(t, [-386.1448 / 718.856, 0, 0], atol=1e-6)
+
+
+def test_fast_matches_svd_on_stereo_batch(rng):
+    """The closed-form path (adjugate null vector + deflated-cubic sigmas,
+    the default) must reproduce the SVD reference: identical gates and
+    matching points over a realistic noisy stereo batch."""
+    from legoslam_tpu.geometry import triangulation as tri
+
+    n = 1024
+    fx, b = 360.0, 0.54
+    Tl = jnp.eye(4, dtype=jnp.float32)
+    Tr = Tl.at[0, 3].set(-b)
+    z = rng.uniform(1.0, 120.0, n)
+    P = np.stack([rng.uniform(-0.8, 0.8, n) * z, rng.uniform(-0.3, 0.3, n) * z, z], -1)
+    pl = P[:, :2] / P[:, 2:3]
+    Pr = P.copy()
+    Pr[:, 0] -= b
+    pr = Pr[:, :2] / Pr[:, 2:3]
+    pl_n = jnp.asarray(pl + rng.normal(0, 0.3 / fx, (n, 2)), jnp.float32)
+    pr_n = jnp.asarray(pr + rng.normal(0, 0.3 / fx, (n, 2)), jnp.float32)
+
+    pt_f, ok_f = tri.triangulate_stereo(Tl, Tr, pl_n, pr_n, 1e-3, method="fast")
+    pt_s, ok_s = tri.triangulate_stereo(Tl, Tr, pl_n, pr_n, 1e-3, method="svd")
+    ok_f, ok_s = np.asarray(ok_f), np.asarray(ok_s)
+    # Gates agree except possibly within a whisker of the ratio threshold.
+    assert (ok_f == ok_s).mean() > 0.99
+    both = ok_f & ok_s
+    assert both.sum() > 100
+    err = np.linalg.norm(np.asarray(pt_f)[both] - np.asarray(pt_s)[both], axis=-1)
+    rel = err / np.linalg.norm(np.asarray(pt_s)[both], axis=-1)
+    assert np.median(rel) < 1e-4 and rel.max() < 5e-3
