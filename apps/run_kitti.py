@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--verbose", action="store_true",
                     help="per-frame counters + per-iteration BA chi/lambda trace "
                          "(the reference's problem.cpp:180-184 solver log)")
+    ap.add_argument("--viz_every", type=int, default=0,
+                    help="live viewer stream: keep a feature-overlay + "
+                         "follow-mode map frame every N frames and assemble "
+                         "a tracking.gif (0 = final-state rendering only)")
     args = ap.parse_args()
 
     from legoslam_tpu.pipeline.dataset import KittiDataset
@@ -48,6 +52,8 @@ def main():
         config["ba_trace"] = True
     elif args.log_every:
         config["log_every_n_frames"] = args.log_every
+    if args.viz_every:
+        config["viewer_every_n"] = args.viz_every
 
     dataset = KittiDataset(config["dataset_dir"], scale=config["image_scale"])
     vo = VisualOdometry(config=config, dataset=dataset, inline_ba=not args.no_ba)

@@ -6,9 +6,21 @@ a KITTI-half-resolution-sized stereo sequence and reports steady-state
 frames/s as ONE JSON line on stdout.
 
 Baseline: the reference (zha0ming1e/LEGO-SLAM) publishes no throughput
-numbers (BASELINE.md); its pipeline is visually paced by the viewer's
-cv::waitKey(120) (viewer.cpp:76-79), i.e. at most 8.33 frames/s end-to-end.
-That 8.33 fps is used as the reference baseline here.
+numbers (BASELINE.md).  `vs_baseline` divides by an *honest, measured*
+denominator: `native/ref_baseline.cpp` re-implements the reference's
+frontend workload (cv::calcOpticalFlowPyrLK 11x11x3L tracking, 150-corner
+masked GFTT, 4x10 double-precision LM pose rounds, SVD-DLT triangulation —
+frontend_lego.cpp:402-447; its backend BA runs on a separate thread and does
+not gate frame throughput, backend_lego.cpp:38-54) and is timed on this
+host's CPU over the exact same frames.  The measurement is cached in
+/tmp/legoslam_ref_cpu.json and refreshed by scripts/bench_reference_cpu.py;
+a fallback constant (last measured value) is used if the toolchain is
+unavailable.  The old denominator — the viewer's cv::waitKey(120) pacing,
+8.33 fps (viewer.cpp:76-79) — is still reported as `vs_viewer_paced`.
+
+Note the workload asymmetry runs in the reference's favor: this pipeline
+tracks 512 feature lanes (3.4x the reference's 150) and pays its full
+sliding-window BA *inline* on keyframe frames.
 
 Frames come from the procedural plane-world renderer (KITTI imagery is not
 present on this machine); set LEGOSLAM_KITTI_DIR to bench on a real KITTI
@@ -17,15 +29,42 @@ sequence instead.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-REFERENCE_FPS = 8.33  # viewer-paced reference loop (viewer.cpp:76-79)
+REFERENCE_VIEWER_FPS = 8.33      # viewer-paced reference loop (viewer.cpp:76-79)
+REFERENCE_CPU_FPS_FALLBACK = 744.0  # measured here 2026-08-20 (ref_baseline.cpp)
+REF_CPU_CACHE = "/tmp/legoslam_ref_cpu.json"
 SHAPE = (188, 620)    # KITTI half resolution (dataset.cpp:76)
 N_FRAMES = 40
 WARMUP = 4
+
+
+def reference_cpu_fps():
+    """Measured reference-equivalent CPU fps (cached; fallback constant)."""
+    try:
+        if os.path.exists(REF_CPU_CACHE):
+            with open(REF_CPU_CACHE) as f:
+                return float(json.load(f)["value"]), "measured (cached)"
+        repo = os.path.dirname(os.path.abspath(__file__))
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "bench_reference_cpu.py")],
+            capture_output=True, text=True, timeout=600,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                rec = json.loads(line)
+                with open(REF_CPU_CACHE, "w") as f:
+                    json.dump(rec, f)
+                return float(rec["value"]), "measured"
+    except Exception as e:
+        log(f"bench: reference CPU measurement unavailable ({e}); using fallback")
+    return REFERENCE_CPU_FPS_FALLBACK, "fallback"
 
 
 def log(msg):
@@ -139,11 +178,16 @@ def main():
     log(f"bench: {n} frames in {dt:.2f}s -> {fps:.2f} fps ({1e3 * dt / n:.2f} ms/frame), "
         f"tracking ratio {good:.2f}")
 
+    ref_fps, ref_src = reference_cpu_fps()
+    log(f"bench: reference-equivalent CPU frontend {ref_fps:.1f} fps ({ref_src})")
     print(json.dumps({
         "metric": "slam_frames_per_second",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / REFERENCE_FPS, 3),
+        "vs_baseline": round(fps / ref_fps, 3),
+        "reference_cpu_fps": round(ref_fps, 1),
+        "reference_cpu_source": ref_src,
+        "vs_viewer_paced": round(fps / REFERENCE_VIEWER_FPS, 3),
     }))
 
 

@@ -279,6 +279,9 @@ class VisualOdometry:
 
     # --- reference API (visual_odometry.h:27-49) ---
     def init(self) -> bool:
+        from legoslam_tpu.utils.jax_setup import enable_compilation_cache
+
+        enable_compilation_cache()  # the fused step is a multi-minute compile
         if self.dataset is None:
             ddir = self.config["dataset_dir"]
             self.dataset = KittiDataset(ddir, scale=self.config["image_scale"])
@@ -326,6 +329,16 @@ class VisualOdometry:
                 ),
             )
             self._apply_correction = jax.jit(_apply_world_correction, donate_argnums=(0,))
+        # Live viewer stream (viewer.cpp:38-97's continuous redraw, decimated
+        # to every N frames): opt-in because feeding it forces per-frame
+        # device->host syncs of the feature table.
+        viz_n = int(self.config["viewer_every_n"])
+        if viz_n > 0:
+            from legoslam_tpu.pipeline.viewer import Viewer
+
+            self.viewer = Viewer(every_n=viz_n)
+        else:
+            self.viewer = None
         self.carry = None
         self.outputs = []
         self.frame_ids = []
@@ -361,6 +374,8 @@ class VisualOdometry:
                 ab.dispatch(self.carry.wmap)
         if self.loop_closer is not None:
             self._loop_hook(frame, out)
+        if self.viewer is not None:
+            self._viewer_hook(frame, out)
         self.outputs.append(out)
         self.frame_ids.append(frame.frame_id)
         if self.log_every > 0 and len(self.outputs) % self.log_every == 0:
@@ -453,6 +468,25 @@ class VisualOdometry:
                 )
             self.carry = self._apply_correction(self.carry, jnp.asarray(G, jnp.float32))
 
+    def _viewer_hook(self, frame: StereoFrame, out: FrameOutput) -> None:
+        """Feed the live viewer stream: T_cw every frame, a feature overlay
+        every N frames, a map snapshot on keyframe events (viewer.cpp:19-36)."""
+        vw = self.viewer
+        if len(self.outputs) % vw.every_n == 0:
+            feats = self.carry.feats
+            vw.add_current_frame(
+                np.asarray(out.T_cw), frame.left,
+                np.asarray(feats.uv), np.asarray(feats.valid),
+            )
+        else:
+            vw.add_current_frame(np.asarray(out.T_cw))
+        if bool(out.kf_inserted):
+            wmap = self.carry.wmap
+            vw.update_map(
+                np.asarray(wmap.kf_pose), np.asarray(wmap.kf_valid),
+                np.asarray(wmap.lm_pos), np.asarray(wmap.lm_active_mask()),
+            )
+
     def keyframe_trajectory(self):
         """(frame_ids, T_cw (N, 4, 4)) over keyframes — loop-corrected when
         loop closure is on."""
@@ -520,8 +554,21 @@ class VisualOdometry:
             evaluation.save_kitti_trajectory(path, T_wc)
 
     def save_visualization(self, out_dir: str, ground_truth=None, last_frame=None):
-        """Render the reference viewer's artifacts headlessly (pipeline/viewer.py)."""
+        """Render the reference viewer's artifacts headlessly (pipeline/viewer.py).
+
+        With `viewer_every_n` > 0 the live stream collected during the run is
+        rendered (per-frame overlays + follow-mode local map + GIF);
+        otherwise a final-state-only rendering is produced."""
         from legoslam_tpu.pipeline.viewer import Viewer
+
+        if self.viewer is not None:
+            if self.carry is not None:
+                wmap = self.carry.wmap
+                self.viewer.update_map(
+                    np.asarray(wmap.kf_pose), np.asarray(wmap.kf_valid),
+                    np.asarray(wmap.lm_pos), np.asarray(wmap.lm_active_mask()),
+                )
+            return self.viewer.save(out_dir, ground_truth=ground_truth)
 
         viewer = Viewer()
         for o in self.outputs:

@@ -93,6 +93,8 @@ DEFAULTS: Dict[str, Any] = {
     "sing_ratio_threshold": 1e-3,  # algorithm.h:14
     # --- observability (frontend_lego.cpp:87,152,230; problem.cpp:180-184) ---
     "log_every_n_frames": 0,       # 0 = silent; N logs per-frame counters every N frames
+    "viewer_every_n": 0,           # 0 = off; N = live viewer stream (overlay
+                                   # every N frames + map snapshots + GIF)
     "ba_trace": False,             # record per-iteration chi/lambda of each BA solve
 }
 

@@ -25,8 +25,16 @@ N_FRAMES = 40        # bench.py N_FRAMES
 
 def main():
     # The renderer is pure NumPy; keep JAX off the accelerator (this script
-    # may run while a bench/profile process owns the TPU).
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # may run while a bench/profile process owns the TPU).  The runtime
+    # preloads jax at interpreter startup, so the env var alone is too late —
+    # flip the config too (backends initialize lazily, so this still works).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/legoslam_ref_frames.bin"
     from legoslam_tpu.pipeline.dataset import SyntheticPlanesDataset
 

@@ -83,3 +83,29 @@ def test_reference_yaml_parses():
         # Acceptable: reference YAML dialect unsupported; our own configs are canonical.
         cfg = Config.from_yaml("config/kitti_00.yaml")
         assert cfg["num_features"] == 150
+
+
+def test_viewer_stream(tmp_path):
+    """Live viewer stream: per-frame overlays, follow-mode map, GIF assembly
+    (viewer.cpp:38-97's continuous redraw as headless artifacts)."""
+    from legoslam_tpu.pipeline.viewer import Viewer
+
+    rng = np.random.default_rng(0)
+    vw = Viewer(every_n=2)
+    H, W = 60, 80
+    for i in range(6):
+        T = np.eye(4)
+        T[2, 3] = -0.3 * i  # camera moving forward
+        img = rng.uniform(0, 255, (H, W)) if True else None
+        uv = rng.uniform(5, 55, (20, 2))
+        vw.add_current_frame(T, img=img, feature_uv=uv, feature_valid=np.ones(20, bool))
+        if i % 3 == 0:
+            kf = np.eye(4)[None].repeat(2, 0)
+            vw.update_map(kf, np.ones(2, bool), rng.uniform(-5, 5, (50, 3)), np.ones(50, bool))
+    paths = vw.save(str(tmp_path))
+    names = [os.path.basename(p) for p in paths]
+    assert "trajectory.png" in names
+    assert any(n.startswith("frame_") for n in names)
+    assert "tracking.gif" in names
+    # every_n=2 over 6 frames -> 3 overlay frames
+    assert sum(1 for n in names if n.startswith("frame_")) == 3
