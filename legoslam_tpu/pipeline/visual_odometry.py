@@ -107,7 +107,10 @@ def process_frame(
     """One full SLAM frame: Frontend::AddFrame (frontend_g2o.cpp:27-46) with
     the backend cycle folded into the keyframe branch when `inline_ba`."""
     pyr_l = tuple(pyr_ops.build_pyramid(img_l, cfg.klt.levels))
-    pyr_r = tuple(pyr_ops.build_pyramid(img_r, cfg.klt.levels))
+    # The right pyramid feeds only stereo matching, which runs in the init
+    # and keyframe-insert branches — build it there (inside lax.cond/switch)
+    # so pure tracking frames skip the work entirely.
+    make_pyr_r = lambda: tuple(pyr_ops.build_pyramid(img_r, cfg.klt.levels))
     eye = jnp.eye(4, dtype=img_l.dtype)
     no_chi = jnp.asarray(jnp.nan, img_l.dtype)
     i0 = jnp.asarray(0, jnp.int32)
@@ -126,7 +129,7 @@ def process_frame(
     def branch_init(op):
         carry, = op
         success, feats, wmap = frontend_mod.stereo_init(
-            cfg, rig, pyr_l, pyr_r, img_l, carry.wmap, frame_id
+            cfg, rig, pyr_l, make_pyr_r(), img_l, carry.wmap, frame_id
         )
         n_new = wmap.lm_next - carry.wmap.lm_next
         wmap, ba = jax.lax.cond(
@@ -177,7 +180,7 @@ def process_frame(
         def do_insert(op):
             feats, wmap = op
             feats, wmap = frontend_mod.insert_keyframe(
-                cfg, rig, pyr_l, pyr_r, img_l, feats, wmap, T_new, frame_id
+                cfg, rig, pyr_l, make_pyr_r(), img_l, feats, wmap, T_new, frame_id
             )
             wmap, ba = run_ba(wmap)
             return feats, wmap, ba
@@ -216,6 +219,40 @@ def process_frame(
         jnp.where(carry.status <= int(FrontendStatus.TRACKING_BAD), 1, 2),
     )
     return jax.lax.switch(branch_idx, [branch_init, branch_track, branch_lost], (carry,))
+
+
+def process_chunk(
+    cfg: frontend_mod.FrontendConfig,
+    rig: StereoRig,
+    carry: VOCarry,
+    imgs_l: jnp.ndarray,
+    imgs_r: jnp.ndarray,
+    frame_ids: jnp.ndarray,
+    ba_cfg: backend_mod.BAConfig = backend_mod.BAConfig(),
+    inline_ba: bool = True,
+    ba_solve_fn=None,
+) -> Tuple[VOCarry, FrameOutput]:
+    """Offline/throughput mode: `lax.scan` of `process_frame` over a chunk of
+    F stacked stereo frames — the whole chunk compiles to ONE XLA program, so
+    the per-program dispatch cost (which the axon tunnel makes ~0.6 ms, see
+    PROFILE.md) is paid once per chunk instead of once per frame.  The math
+    is the per-frame step unchanged; outputs are stacked `FrameOutput` with a
+    leading F axis.  Use for offline mapping / bulk serving where frames are
+    already on device; the interactive path (`VisualOdometry.step`) stays
+    per-frame so host hooks (viewer, loop closure, async BA) see every frame.
+
+    The reference has no analogue: its per-frame loop is inherently host-paced
+    (visual_odometry.cpp:46-57)."""
+
+    def scan_step(c, xs):
+        il, ir, fid = xs
+        c, out = process_frame(
+            cfg, rig, c, il, ir, fid,
+            ba_cfg=ba_cfg, inline_ba=inline_ba, ba_solve_fn=ba_solve_fn,
+        )
+        return c, out
+
+    return jax.lax.scan(scan_step, carry, (imgs_l, imgs_r, frame_ids))
 
 
 def _apply_world_correction(carry: VOCarry, G: jnp.ndarray) -> VOCarry:

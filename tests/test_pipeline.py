@@ -13,6 +13,7 @@ from legoslam_tpu.pipeline.visual_odometry import (
     FrontendStatus,
     VisualOdometry,
     initial_carry,
+    process_chunk,
     process_frame,
 )
 from legoslam_tpu.utils import evaluation
@@ -145,6 +146,52 @@ def test_vo_end_to_end_with_ba(dataset):
     assert vo.num_keyframes() >= 1
     chis = np.asarray(jnp.stack([o.ba_chi for o in vo.outputs]))
     assert np.isfinite(chis).any()  # BA actually ran
+
+
+def test_process_chunk_matches_stepwise(dataset):
+    """Offline scan mode (process_chunk) is the per-frame step unchanged:
+    same poses, statuses, and keyframe events as the stepwise loop."""
+    ds = make_dataset(n_frames=10)
+    ds.init()
+    cfg = small_cfg()
+    rig = ds.rig
+    frames = [ds.next_frame() for _ in range(10)]
+    il = jnp.stack([jnp.asarray(f.left) for f in frames])
+    ir = jnp.stack([jnp.asarray(f.right) for f in frames])
+    fids = jnp.asarray([f.frame_id for f in frames], jnp.int32)
+
+    step = jax.jit(
+        lambda c, l, r, fid: process_frame(cfg, rig, c, l, r, fid, inline_ba=True)
+    )
+    c1 = initial_carry(cfg, ds.shape)
+    poses, statuses, kfs = [], [], []
+    for i in range(10):
+        c1, out = step(c1, il[i], ir[i], fids[i])
+        poses.append(out.T_cw)
+        statuses.append(out.status)
+        kfs.append(out.kf_inserted)
+
+    chunk = jax.jit(
+        lambda c, l, r, fid: process_chunk(cfg, rig, c, l, r, fid, inline_ba=True)
+    )
+    c2 = initial_carry(cfg, ds.shape)
+    c2, outs = chunk(c2, il, ir, fids)
+
+    np.testing.assert_array_equal(np.asarray(outs.status), np.asarray(jnp.stack(statuses)))
+    np.testing.assert_array_equal(
+        np.asarray(outs.kf_inserted), np.asarray(jnp.stack(kfs))
+    )
+    # XLA fuses the scan body differently from the standalone step, and the
+    # closed tracking loop amplifies float-level differences frame over
+    # frame, so poses agree at trajectory level rather than bit-for-bit:
+    # the two trajectories stay within a few cm of each other and the scan
+    # trajectory meets the same ATE gate as the stepwise one.
+    T_scan = np.asarray(outs.T_cw)
+    T_step = np.asarray(jnp.stack(poses))
+    assert np.abs(T_scan[:, :3, 3] - T_step[:, :3, 3]).max() < 0.05
+    est_wc = np.linalg.inv(T_scan)
+    ate = evaluation.ate_rmse(est_wc[:, :3, 3], ds.gt_T_wc[:10, :3, 3])
+    assert ate < 0.15, ate
 
 
 def test_window_eviction():
