@@ -190,8 +190,15 @@ def soa_robust_chi(gs: GraphSoA, poses, points, kernel: str, delta: float) -> jn
     return 0.5 * jnp.sum(jnp.where(gs.valid, chi, 0.0))
 
 
-def soa_build(gs: GraphSoA, poses, points, kernel: str, delta: float) -> SoABlocks:
-    """Assemble the packed normal equations (buildHessian, problem.cpp:273-358)."""
+def soa_build(gs: GraphSoA, poses, points, kernel: str, delta: float,
+              with_chi: bool = False):
+    """Assemble the packed normal equations (buildHessian, problem.cpp:273-358).
+
+    `with_chi=True` additionally returns the robust chi at the same point —
+    rho0 falls out of the one robust-kernel evaluation the assembly already
+    does, so the LM driver can fuse its per-attempt chi test with the
+    re-linearization and pay ONE edge sweep per attempt instead of two
+    (lm.lm_optimize chi_build path).  Returns blocks or (blocks, chi)."""
     K = poses.shape[0]
     ru, rv, Ju, Jv, Jlu, Jlv = _edge_core(gs, poses, points)
 
@@ -201,7 +208,7 @@ def soa_build(gs: GraphSoA, poses, points, kernel: str, delta: float) -> SoABloc
     ru = jnp.where(vm, ru, 0.0)
     rv = jnp.where(vm, rv, 0.0)
     e2 = ru * ru + rv * rv
-    _, rho1, rho2 = robust.rho(kernel, e2, delta)
+    rho0, rho1, rho2 = robust.rho(kernel, e2, delta)
     keep = rho1 + 2.0 * rho2 * e2 > 1e-5 * rho1  # PSD guard (base_edge.cpp:55)
     two_r2 = jnp.where(keep, 2.0 * rho2, 0.0)
     W00 = jnp.where(vm, rho1 + two_r2 * ru * ru, 0.0)
@@ -238,7 +245,12 @@ def soa_build(gs: GraphSoA, poses, points, kernel: str, delta: float) -> SoABloc
     )  # (18, E)
     P1 = (Hpl_e[None] * gs.onehot_p[:, None, :]).reshape(K * 18, -1)  # (18K, E)
     Hpl = (P1 @ gs.onehot_l).reshape(K, 6, 3, -1).reshape(K * 6, 3, -1)  # (6K, 3, L)
-    return SoABlocks(Hpp=Hpp, Hll=Hll, Hpl=Hpl, bp=bp, bl=bl)
+    blocks = SoABlocks(Hpp=Hpp, Hll=Hll, Hpl=Hpl, bp=bp, bl=bl)
+    if with_chi:
+        # Matches soa_robust_chi: invalid edges have r = 0 => rho0 = 0 for
+        # every kernel, so masking before vs after rho is equivalent.
+        return blocks, 0.5 * jnp.sum(jnp.where(vm, rho0, 0.0))
+    return blocks
 
 
 def _inv3x3_comps(Hll: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

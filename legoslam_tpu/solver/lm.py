@@ -57,6 +57,14 @@ class LMFunctions(NamedTuple):
     retract: Callable[[Any, Any], Any]
     dot_scale: Callable[[Any, Any, jnp.ndarray], jnp.ndarray]
     max_diag: Callable[[Any], jnp.ndarray]
+    # Optional fused chi_build(state) -> (chi, aux): when the problem can
+    # produce the assembled system and the robust chi from ONE residual
+    # sweep (edge_soa.soa_build(with_chi=True)), the driver evaluates each
+    # candidate with a single sweep and keeps the assembly if accepted,
+    # instead of a chi sweep followed by a build sweep.  Rejected attempts
+    # then waste the Jacobian part of the sweep, but acceptance dominates in
+    # practice and the edge sweeps are op-bound, not FLOP-bound (PROFILE.md).
+    chi_build: Any = None
 
 
 class LMResult(NamedTuple):
@@ -73,8 +81,11 @@ class LMResult(NamedTuple):
 
 def lm_optimize(fns: LMFunctions, state0: Any, cfg: LMConfig) -> LMResult:
     dtype = jnp.result_type(*[x for x in jax.tree_util.tree_leaves(state0)])
-    aux0 = fns.build(state0)
-    chi0 = fns.chi(state0)
+    if fns.chi_build is not None:
+        chi0, aux0 = fns.chi_build(state0)
+    else:
+        aux0 = fns.build(state0)
+        chi0 = fns.chi(state0)
 
     if cfg.strategy == "strategy1":
         lam0 = jnp.asarray(1e-5, dtype)  # problem.cpp:500-503
@@ -104,7 +115,11 @@ def lm_optimize(fns: LMFunctions, state0: Any, cfg: LMConfig) -> LMResult:
     def body(c):
         dx = fns.solve(c["aux"], c["lam"])
         cand = fns.retract(c["state"], dx)
-        temp_chi = fns.chi(cand)
+        if fns.chi_build is not None:
+            temp_chi, aux_cand = fns.chi_build(cand)
+        else:
+            temp_chi = fns.chi(cand)
+            aux_cand = None
         scale = fns.dot_scale(c["aux"], dx, c["lam"]) + jnp.asarray(1e-10, dtype)
         rho_val = (c["chi"] - temp_chi) / scale
         accept = (rho_val > 0) & jnp.isfinite(temp_chi)
@@ -124,11 +139,18 @@ def lm_optimize(fns: LMFunctions, state0: Any, cfg: LMConfig) -> LMResult:
 
         # Accepted step re-linearizes (problem.cpp:199); rejected keeps blocks
         # (the functional rollback).
-        state_n, aux_n = jax.lax.cond(
-            accept,
-            lambda: (cand, fns.build(cand)),
-            lambda: (c["state"], c["aux"]),
-        )
+        if fns.chi_build is not None:
+            # The candidate's assembly already exists — just select it.
+            state_n, aux_n = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept, a, b),
+                (cand, aux_cand), (c["state"], c["aux"]),
+            )
+        else:
+            state_n, aux_n = jax.lax.cond(
+                accept,
+                lambda: (cand, fns.build(cand)),
+                lambda: (c["state"], c["aux"]),
+            )
         chi_n = jnp.where(accept, temp_chi, c["chi"])
         false_n = jnp.where(accept, 0, c["false_cnt"] + 1)
         exhausted = false_n >= cfg.false_cnt_threshold
@@ -299,6 +321,18 @@ def _solve_ba_soa(
             chi = chi + 0.5 * jnp.dot(r, r)
         return chi
 
+    def chi_build(st: BAState):
+        # One edge sweep yields both the candidate chi and its assembly.
+        blocks, chi = edge_soa.soa_build(
+            gs, st.poses, st.points, kernel, delta, with_chi=True
+        )
+        bprior = None
+        if prior_H is not None:
+            r = prior_res(st)
+            chi = chi + 0.5 * jnp.dot(r, r)
+            bprior = -(prior_J.T @ r)
+        return chi, (blocks, edge_soa.soa_blocks_diag(blocks), bprior)
+
     def solve_fn(aux, lam):
         blocks, _, bprior = aux
         S, bs, Hll_inv = edge_soa.soa_schur_reduce(blocks, graph.point_valid, lam, cfg.strategy)
@@ -332,7 +366,8 @@ def _solve_ba_soa(
         return jnp.max(jnp.abs(aux[1]))
 
     fns = LMFunctions(build=build, chi=chi_fn, solve=solve_fn,
-                      retract=retract_fn, dot_scale=dot_scale, max_diag=max_diag)
+                      retract=retract_fn, dot_scale=dot_scale, max_diag=max_diag,
+                      chi_build=chi_build)
     res = lm_optimize(fns, BAState(poses=poses, points=points), cfg)
     return res.state, res
 
