@@ -127,8 +127,10 @@ def main():
 
     import jax.numpy as jnp
 
+    from legoslam_tpu.pipeline import backend as backend_mod
     from legoslam_tpu.pipeline import frontend as frontend_mod
     from legoslam_tpu.pipeline import visual_odometry as vo_mod
+    from legoslam_tpu.pipeline.state import Capacities
     from legoslam_tpu.utils.config import Config
 
     ds = make_dataset()
@@ -142,10 +144,15 @@ def main():
         "stereo_depth_superior_limit": 60.0,
     })
     cfg = frontend_mod.FrontendConfig.from_config(config)
+    ba_cfg = backend_mod.BAConfig(
+        assembly_precision=str(config["ba_assembly_precision"]),
+    )
     rig = ds.rig
 
     def step(carry, img_l, img_r, frame_id):
-        return vo_mod.process_frame(cfg, rig, carry, img_l, img_r, frame_id, inline_ba=True)
+        return vo_mod.process_frame(
+            cfg, rig, carry, img_l, img_r, frame_id, ba_cfg=ba_cfg, inline_ba=True
+        )
 
     jitted = jax.jit(step, donate_argnums=(0,))
     carry = vo_mod.initial_carry(cfg, frames[0][0].shape)
@@ -172,6 +179,7 @@ def main():
         for i in range(WARMUP):
             l, r = device_frames[i]
             c, _ = jitted(c, l, r, jnp.asarray(i, jnp.int32))
+        jax.block_until_ready(c)  # drain warmup work before any timed region
         return c
 
     # --- interactive mode: one program dispatch per frame --------------------
@@ -200,7 +208,9 @@ def main():
     # (vo.process_chunk = lax.scan of the identical frame step; equivalence
     # pinned by tests/test_pipeline.py::test_process_chunk_matches_stepwise).
     chunk = jax.jit(
-        lambda c, l, r, fid: vo_mod.process_chunk(cfg, rig, c, l, r, fid, inline_ba=True),
+        lambda c, l, r, fid: vo_mod.process_chunk(
+            cfg, rig, c, l, r, fid, ba_cfg=ba_cfg, inline_ba=True
+        ),
         donate_argnums=(0,),
     )
     il = jnp.stack([f[0] for f in device_frames[WARMUP:]])
@@ -222,6 +232,71 @@ def main():
     log(f"bench: scan-fused {n} frames in {dt2:.2f}s -> {fps:.2f} fps "
         f"({1e3 * dt2 / n:.2f} ms/frame), mean tracked features {mean_tracked:.0f}")
 
+    # --- matched-workload config: like-for-like with the CPU baseline -------
+    # The reference baseline (ref_baseline.cpp) tracks 150 corners and runs NO
+    # BA on the frame thread (the reference backend solves on a separate
+    # thread, backend_lego.cpp:38-54).  The full-fat pipeline above carries up
+    # to 512 feature lanes and pays sliding-window BA inline.  This config
+    # matches the baseline's workload: 192 feature lanes (GFTT budget 150,
+    # like the reference's num_features) and BA excluded; keyframe work
+    # (detect / stereo / triangulate) stays, exactly as in ref_baseline.cpp.
+    caps_m = Capacities(max_features=192)
+    cfg_m = cfg._replace(
+        caps=caps_m,
+        gftt=cfg.gftt._replace(max_corners=150),
+    )
+
+    def step_m(carry, img_l, img_r, frame_id):
+        return vo_mod.process_frame(
+            cfg_m, rig, carry, img_l, img_r, frame_id, inline_ba=False
+        )
+
+    jitted_m = jax.jit(step_m, donate_argnums=(0,))
+
+    def fresh_carry_m():
+        c = vo_mod.initial_carry(cfg_m, frames[0][0].shape)
+        for i in range(WARMUP):
+            l, r = device_frames[i]
+            c, _ = jitted_m(c, l, r, jnp.asarray(i, jnp.int32))
+        jax.block_until_ready(c)
+        return c
+
+    cm = fresh_carry_m()
+    dt_m = float("inf")
+    statuses_m = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        outs = []
+        for i in range(WARMUP, len(device_frames)):
+            l, r = device_frames[i]
+            cm, out = jitted_m(cm, l, r, jnp.asarray(i, jnp.int32))
+            outs.append(out.status)
+        jax.block_until_ready(cm)
+        dt_m = min(dt_m, time.perf_counter() - t0)
+        statuses_m = [int(s) for s in outs]
+        cm = fresh_carry_m()
+    chunk_m = jax.jit(
+        lambda c, l, r, fid: vo_mod.process_chunk(cfg_m, rig, c, l, r, fid, inline_ba=False),
+        donate_argnums=(0,),
+    )
+    cm2, outs_m = chunk_m(fresh_carry_m(), il, ir, fids)
+    jax.block_until_ready(outs_m.status)
+    dt_m2 = float("inf")
+    for _ in range(REPS):
+        cm2 = fresh_carry_m()
+        t0 = time.perf_counter()
+        cm2, outs_m = chunk_m(cm2, il, ir, fids)
+        jax.block_until_ready(outs_m.status)
+        dt_m2 = min(dt_m2, time.perf_counter() - t0)
+    fps_matched = n / min(dt_m, dt_m2)
+    good_m = sum(1 for s in statuses_m if s in (1, 2)) / max(1, len(statuses_m))
+    tracked_m = [int(t) for t in outs_m.n_tracked]
+    mean_tracked_m = sum(tracked_m) / max(1, len(tracked_m))
+    log(f"bench: matched-workload (192 lanes, no inline BA) {fps_matched:.2f} fps "
+        f"({1e3 * min(dt_m, dt_m2) / n:.2f} ms/frame, stepwise {n/dt_m:.1f} / "
+        f"scan {n/dt_m2:.1f}), tracking ratio {good_m:.2f}, "
+        f"mean tracked {mean_tracked_m:.0f}")
+
     ref_fps, ref_src = reference_cpu_fps()
     log(f"bench: reference-equivalent CPU frontend {ref_fps:.1f} fps ({ref_src}, "
         f"150 feature tracks, no BA)")
@@ -234,19 +309,21 @@ def main():
         "metric": "slam_frames_per_second",
         "value": round(best, 3),
         "unit": "frames/s",
-        "vs_baseline": round(best / ref_fps, 3),
+        # Like-for-like comparison: matched workload (192 lanes / 150-corner
+        # GFTT budget, BA excluded) vs the measured reference-equivalent CPU
+        # frontend (150 tracks, BA on a separate thread).
+        "vs_baseline": round(fps_matched / ref_fps, 3),
+        "fps_matched": round(fps_matched, 3),
+        "matched_tracking_ratio": round(good_m, 3),
+        # Full-fat production config (512 lanes + inline sliding-window BA)
+        # against the same BA-less 150-track denominator.
+        "vs_baseline_fullfat": round(best / ref_fps, 3),
         "mode": mode,
         "fps_scan": round(fps, 3),
         "fps_stepwise": round(fps_step, 3),
         "reference_cpu_fps": round(ref_fps, 1),
         "reference_cpu_source": ref_src,
-        # Workload normalization: the TPU pipeline carries ~3x the feature
-        # tracks AND pays sliding-window BA inline; the denominator tracks
-        # 150 features with BA excluded (the reference backend is async).
         "mean_tracked_features": round(mean_tracked, 1),
-        "vs_baseline_per_track": round(
-            (best * mean_tracked) / (ref_fps * 150.0), 3
-        ),
         "vs_viewer_paced": round(best / REFERENCE_VIEWER_FPS, 3),
     }))
 

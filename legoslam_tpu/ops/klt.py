@@ -50,6 +50,21 @@ def _use_pallas(cfg: "KLTConfig") -> bool:
     return platform in ("tpu", "axon")
 
 
+# Above this pixel count a level uses the tile-sampled kernel (per-iteration
+# cost independent of image size); below it the full-image one-hot kernel is
+# cheaper (no per-keypoint tile extraction, fewer VMEM buffers).  ~level 1 of
+# KITTI half resolution sits right at the crossover measured in PROFILE.md.
+_TILE_KERNEL_MIN_PIXELS = 20_000
+
+
+def _pallas_level_kernel(img_shape):
+    from legoslam_tpu.ops import klt_pallas
+
+    if img_shape[0] * img_shape[1] >= _TILE_KERNEL_MIN_PIXELS:
+        return klt_pallas.klt_level_anchored_tile_pallas
+    return klt_pallas.klt_level_anchored_pallas
+
+
 def _gn_loop(iterations: int, body, init):
     """Run the per-lane GN body until every lane goes inactive (or the
     iteration cap).  The reference breaks per keypoint (algorithm.cpp:102-115);
@@ -185,7 +200,7 @@ def klt_pyramid(
     kp2_pyr = kp2_init * scale_top
     success = valid
     if _use_pallas(cfg):
-        from legoslam_tpu.ops import interp, klt_pallas
+        from legoslam_tpu.ops import interp
 
         def level_fn(img1, img2, kp1l, kp2l, v):
             # The fused kernel takes the (fixed) reference patch as a halo
@@ -193,7 +208,7 @@ def klt_pyramid(
             # img1 sampled at kp1, exactly klt_level's p1/big1.
             halo = 2 * cfg.half_patch + 3
             anchor = interp.sample_patches(img1, kp1l, halo)
-            return klt_pallas.klt_level_anchored_pallas(
+            return _pallas_level_kernel(img2.shape)(
                 anchor, img2, kp1l, kp2l, v,
                 patch=2 * cfg.half_patch + 1, iterations=cfg.iterations,
                 eps=cfg.eps, inverse=cfg.inverse,
@@ -335,10 +350,8 @@ def klt_pyramid_anchored(
     success = valid
     use_pallas = _use_pallas(cfg)
     if use_pallas:
-        from legoslam_tpu.ops import klt_pallas
-
         def level_fn(anchor, img2, kp1, kp2, v):
-            return klt_pallas.klt_level_anchored_pallas(
+            return _pallas_level_kernel(img2.shape)(
                 anchor, img2, kp1, kp2, v,
                 patch=2 * cfg.half_patch + 1, iterations=cfg.iterations,
                 eps=cfg.eps, inverse=cfg.inverse,

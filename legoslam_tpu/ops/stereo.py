@@ -101,10 +101,29 @@ def match(
     x0 = -(d_hi + half + 1)
     strip = sample_strip(img_r, kp, P, S, float(x0))       # (N, P, S)
 
-    # Dense integer cost volume: windows are *static* slices of the strip
-    # (stacked slices, not a gather — TPU gathers are slow).
-    windows = jnp.stack([strip[:, :, 1 + j : 1 + j + P] for j in range(D)], axis=2)  # (N, P, D, P)
-    cost = 1.0 - _zncc(patch_l[:, :, None, :], windows, axes=(1, 3))  # (N, D)
+    # Dense integer ZNCC cost over all D window positions WITHOUT the
+    # (N, P, D, P) stacked-window tensor (a D-way stack of slices costs ~3 ms
+    # of pure copies per call on a v5e — PROFILE.md round 4).  With the left
+    # patch zero-meaned, zncc numerator = sum_k sum_y pl0[.,y,k] *
+    # strip[.,y,1+j+k]: P shifted multiply-adds.  Window sums / sum-squares
+    # for the denominator come from prefix sums along the strip.
+    pl_mean = jnp.mean(patch_l, axis=(1, 2), keepdims=True)
+    pl0 = patch_l - pl_mean
+    norm_l = jnp.sqrt(jnp.sum(pl0 * pl0, axis=(1, 2)))     # (N,)
+    cross = sum(
+        jnp.sum(pl0[:, :, k : k + 1] * strip[:, :, 1 + k : 1 + k + D], axis=1)
+        for k in range(P)
+    )                                                       # (N, D)
+    col_sum = jnp.sum(strip, axis=1)                        # (N, S)
+    col_sq = jnp.sum(strip * strip, axis=1)
+    zero = jnp.zeros((kp.shape[0], 1), strip.dtype)
+    cum = jnp.concatenate([zero, jnp.cumsum(col_sum, axis=1)], axis=1)
+    cumq = jnp.concatenate([zero, jnp.cumsum(col_sq, axis=1)], axis=1)
+    win_sum = cum[:, 1 + P : 1 + P + D] - cum[:, 1 : 1 + D]
+    win_sq = cumq[:, 1 + P : 1 + P + D] - cumq[:, 1 : 1 + D]
+    var_r = jnp.maximum(win_sq - win_sum * win_sum / (P * P), 0.0)
+    den = norm_l[:, None] * jnp.sqrt(var_r) + 1e-6
+    cost = 1.0 - cross / den                                # (N, D)
 
     best_j = jnp.argmin(cost, axis=1)
     c_best = jnp.min(cost, axis=1)
@@ -128,24 +147,30 @@ def match(
 
     # Gauss-Newton on u inside the strip (the x-only restriction of the
     # reference's GN loop, algorithm.cpp:58-115; d(err)/du = -strip gradient).
-    # Fractional windows are read with a 2-tap one-hot einsum over the strip
-    # columns (small batched matmul) instead of a TPU-hostile gather.
-    col = jnp.arange(P, dtype=kp.dtype)[None, :]
+    # One fractional (P+2)-column halo window per iteration, read with a
+    # 2-tap one-hot einsum over the strip columns (small batched matmul
+    # instead of a TPU-hostile gather); value and central-difference gradient
+    # both come from the halo.
+    col2 = jnp.arange(P + 2, dtype=kp.dtype)[None, :]
     iota_s = jnp.arange(S, dtype=kp.dtype)[None, None, :]
 
-    def sample_win(u):
-        pos = jnp.clip(u[:, None] + col, 0.0, S - 2.0)     # (N, P) window col starts
+    def sample_halo(u):
+        pos = jnp.clip(u[:, None] + col2 - 1.0, 0.0, S - 2.0)  # (N, P+2) col starts
         i0 = jnp.floor(pos)
-        f = (pos - i0)[:, None, :]                          # (N, 1, P)
-        w0 = (iota_s == i0[:, :, None]).astype(kp.dtype)    # (N, P, S) one-hot
+        f = (pos - i0)[:, None, :]                          # (N, 1, P+2)
+        w0 = (iota_s == i0[:, :, None]).astype(kp.dtype)    # (N, P+2, S) one-hot
         v0 = jnp.einsum("nys,nks->nyk", strip, w0)
         v1 = jnp.einsum("nys,nks->nyk", strip, jnp.roll(w0, 1, axis=2))
-        return (1.0 - f) * v0 + f * v1
+        return (1.0 - f) * v0 + f * v1                      # (N, P, P+2)
+
+    def sample_win(u):
+        return sample_halo(u)[:, :, 1:-1]
 
     def body(_, st):
         u, last_cost, active = st
-        win = sample_win(u)
-        gx = 0.5 * (sample_win(u + 1.0) - sample_win(u - 1.0))
+        halo = sample_halo(u)
+        win = halo[:, :, 1:-1]
+        gx = 0.5 * (halo[:, :, 2:] - halo[:, :, :-2])
         err = patch_l - win
         c = jnp.sum(err * err, axis=(1, 2))
         h = jnp.sum(gx * gx, axis=(1, 2))

@@ -36,6 +36,9 @@ class BAConfig(NamedTuple):
     linear_solver: str = "cholesky"
     engine: str = "soa"  # "soa" (component-major fast path) | "blocks"
     trace: bool = False  # record the per-iteration chi/lambda solve trace
+    # "bf16" runs the big assembly contractions on the MXU in one native pass
+    # (edge_soa.soa_build assembly_dtype); chi/rollback stay f32.
+    assembly_precision: str = "f32"
 
 
 class BAStats(NamedTuple):
@@ -218,10 +221,12 @@ def solve_window(
     `merge_ba_result` — immediately (`ba_step`) or after tracking has moved on
     (pipeline/async_backend.py).
     """
-    problem, counts = build_problem(cfg, rig, wmap)
+    with jax.named_scope("ba_build_problem"):
+        problem, counts = build_problem(cfg, rig, wmap)
     lm_cfg = lm_ops.LMConfig(
         iterations=ba_cfg.iterations, strategy=ba_cfg.strategy,
         linear_solver=ba_cfg.linear_solver, trace=ba_cfg.trace,
+        assembly_precision=ba_cfg.assembly_precision,
     )
 
     # Marginalization prior on the window poses (problem.cpp:338-355): mask
@@ -243,11 +248,12 @@ def solve_window(
         pose_prior = (prior_J, prior_err, T_lin)
 
     if solve_fn is None:
-        state, res = lm_ops.solve_ba(
-            problem.graph, problem.poses, problem.points,
-            kernel=robust.HUBER, delta=ba_cfg.chi2_threshold, cfg=lm_cfg,
-            engine=ba_cfg.engine, pose_prior=pose_prior,
-        )
+        with jax.named_scope("ba_lm_solve"):
+            state, res = lm_ops.solve_ba(
+                problem.graph, problem.poses, problem.points,
+                kernel=robust.HUBER, delta=ba_cfg.chi2_threshold, cfg=lm_cfg,
+                engine=ba_cfg.engine, pose_prior=pose_prior,
+            )
     else:
         state, res = solve_fn(problem.graph, problem.poses, problem.points, lm_cfg)
         if ba_cfg.trace and res.trace.shape[0] != ba_cfg.iterations:
@@ -258,10 +264,11 @@ def solve_window(
             )
 
     # Outlier classification at the optimized state (robust chi2 per edge).
-    gs = edge_soa.make_soa_graph(problem.graph, assembly=False)
-    chis = edge_soa.soa_edge_chi2(gs, state.poses, state.points, robust.HUBER, ba_cfg.chi2_threshold)
-    e_valid = schur.edge_mask(problem.graph)
-    th = adaptive_chi2_threshold(chis, e_valid, ba_cfg)
+    with jax.named_scope("ba_outliers"):
+        gs = edge_soa.make_soa_graph(problem.graph, assembly=False)
+        chis = edge_soa.soa_edge_chi2(gs, state.poses, state.points, robust.HUBER, ba_cfg.chi2_threshold)
+        e_valid = schur.edge_mask(problem.graph)
+        th = adaptive_chi2_threshold(chis, e_valid, ba_cfg)
     outlier_edge = e_valid & (chis > th)
     n_out = jnp.sum(outlier_edge.astype(jnp.int32))
     n_in = jnp.sum(e_valid.astype(jnp.int32)) - n_out

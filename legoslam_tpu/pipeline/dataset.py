@@ -212,10 +212,29 @@ class SyntheticPlanesDataset:
         half_width: float = 8.0,
         ground_y: float = 1.6,
         trajectory: Optional[np.ndarray] = None,
+        n_occluders: int = 0,
+        dynamic_occluders: int = 0,
+        photometric_noise: float = 0.0,
+        exposure_drift: float = 0.0,
     ):
         """`trajectory`: optional (N, 4, 4) T_wc array overriding the default
         forward-with-yaw path — e.g. an out-and-back loop for loop-closure
-        tests (the renderer draws any pose in the corridor world)."""
+        tests (the renderer draws any pose in the corridor world).
+
+        Realism knobs (all default off; KITTI-like nuisance factors the clean
+        corridor lacks — VERDICT r3 "validation realism"):
+        - `n_occluders`: floating textured rectangles inside the corridor that
+          occlude the walls/ground (objects whose depth differs from the
+          surface behind them, breaking tracks that slide across edges);
+        - `dynamic_occluders`: how many of them additionally MOVE laterally
+          over time (independently moving objects violating the static-world
+          assumption, like oncoming cars);
+        - `photometric_noise`: per-pixel Gaussian intensity noise sigma
+          (sensor noise; independent per frame and per camera);
+        - `exposure_drift`: sinusoidal per-frame gain amplitude, e.g. 0.15
+          for +-15% exposure swings (auto-exposure hunting; the left and
+          right camera share each frame's gain, as a real stereo rig does).
+        """
         H, W = shape
         self.shape = shape
         if trajectory is not None:
@@ -225,6 +244,20 @@ class SyntheticPlanesDataset:
         self.length = length
         self.half_width = half_width
         self.ground_y = ground_y
+        self.photometric_noise = photometric_noise
+        self.exposure_drift = exposure_drift
+        rng_occ = np.random.default_rng(seed * 7919 + 17)
+        self.occluders = []
+        for k in range(n_occluders):
+            # rectangle on a z = const plane facing the camera
+            zc = rng_occ.uniform(8.0, max(12.0, length * 0.8))
+            xc = rng_occ.uniform(-0.6 * half_width, 0.6 * half_width)
+            yc = rng_occ.uniform(-0.5, ground_y - 0.8)
+            w = rng_occ.uniform(0.8, 2.5)
+            h = rng_occ.uniform(0.8, 2.0)
+            vx = rng_occ.uniform(0.02, 0.08) * rng_occ.choice([-1, 1]) \
+                if k < dynamic_occluders else 0.0
+            self.occluders.append((xc, yc, zc, w, h, vx, 71 + 13 * k))
         right_pose = np.eye(4)
         right_pose[0, 3] = -baseline
         from legoslam_tpu.geometry.camera import Camera
@@ -251,17 +284,17 @@ class SyntheticPlanesDataset:
             self.gt_T_wc = np.stack(self.gt_T_wc)
         self.current_index = 0
 
-    def _render(self, T_wc: np.ndarray, cam) -> np.ndarray:
-        img, _ = self._render_with_depth(T_wc, cam)
+    def _render(self, T_wc: np.ndarray, cam, frame_index: int = 0) -> np.ndarray:
+        img, _ = self._render_with_depth(T_wc, cam, frame_index)
         return img
 
     def render_depth(self, frame_index: int, cam=None) -> np.ndarray:
         """Exact per-pixel camera-frame depth (for tests)."""
         cam = cam or self.rig.left
-        _, depth = self._render_with_depth(self.gt_T_wc[frame_index], cam)
+        _, depth = self._render_with_depth(self.gt_T_wc[frame_index], cam, frame_index)
         return depth
 
-    def _render_with_depth(self, T_wc: np.ndarray, cam):
+    def _render_with_depth(self, T_wc: np.ndarray, cam, frame_index: int = 0):
         H, W = self.shape
         fx, fy = float(cam.fx), float(cam.fy)
         cx, cy = float(cam.cx), float(cam.cy)
@@ -298,6 +331,24 @@ class SyntheticPlanesDataset:
             tex = _texture(pts[..., ta] * 3.0, pts[..., tb] * 3.0, self.seed * 101 + salt)
             value = np.where(ok, tex, value)
             best_t = np.where(ok, t, best_t)
+        # Floating (possibly moving) rectangles: nearer hits overwrite the
+        # walls/ground, exactly like parked / oncoming objects in KITTI.
+        for xc, yc, zc, w, h, vx, salt in self.occluders:
+            xc = xc + vx * frame_index
+            dn = d_world[..., 2]
+            safe = np.abs(dn) > 1e-9
+            t = np.full_like(dn, np.inf)
+            np.divide(zc - origin[2], dn, out=t, where=safe)
+            pts = origin[None, None, :] + t[..., None] * d_world
+            ok = (t > 0.05) & (t < best_t)
+            ok &= np.abs(pts[..., 0] - xc) <= w / 2
+            ok &= np.abs(pts[..., 1] - yc) <= h / 2
+            tex = _texture(
+                (pts[..., 0] - vx * frame_index) * 4.0, pts[..., 1] * 4.0,
+                self.seed * 101 + salt,
+            )
+            value = np.where(ok, tex, value)
+            best_t = np.where(ok, t, best_t)
         img = 25.0 + 205.0 * value
         img = np.where(np.isfinite(best_t), img, 12.0).astype(np.float32)
         # t is distance along rays with unit camera-frame z, so it *is* depth.
@@ -315,8 +366,19 @@ class SyntheticPlanesDataset:
         if self.current_index >= self.n_frames:
             return None
         i = self.current_index
-        left = self._render(self.gt_T_wc[i], self.rig.left)
-        right = self._render(self.gt_T_wc[i], self.rig.right)
+        left = self._render(self.gt_T_wc[i], self.rig.left, i)
+        right = self._render(self.gt_T_wc[i], self.rig.right, i)
+        if self.exposure_drift > 0:
+            gain = 1.0 + self.exposure_drift * np.sin(2 * np.pi * i / 47.0)
+            left = left * gain
+            right = right * gain
+        if self.photometric_noise > 0:
+            rng = np.random.default_rng(self.seed * 65537 + i)
+            left = left + rng.normal(0, self.photometric_noise, left.shape)
+            right = right + rng.normal(0, self.photometric_noise, right.shape)
+        if self.exposure_drift > 0 or self.photometric_noise > 0:
+            left = np.clip(left, 0, 255).astype(np.float32)
+            right = np.clip(right, 0, 255).astype(np.float32)
         self.current_index += 1
         return StereoFrame(i, left, right)
 

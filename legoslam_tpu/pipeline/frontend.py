@@ -438,14 +438,18 @@ def insert_keyframe(
     tracked observations, detect new features, match them in the right image,
     triangulate, and write the keyframe record."""
     wmap = _evict_if_full(cfg, wmap, T_cur)
-    feats = detect_features(cfg, img_left, feats)
+    with jax.named_scope("gftt_detect"):
+        feats = detect_features(cfg, img_left, feats)
     # Re-anchor every live template at this keyframe (bounds appearance drift
     # to one keyframe gap; gives fresh detections their first template).
-    feats = feats._replace(
-        anchor=klt_ops.extract_anchors(pyr_left, feats.uv, cfg.klt), anchor_uv=feats.uv
-    )
-    feats = find_features_in_right(cfg, rig, pyr_left, pyr_right, feats, wmap.lm_pos, T_cur)
-    feats, wmap, born = triangulate_new_points(cfg, rig, feats, wmap, T_cur)
+    with jax.named_scope("extract_anchors"):
+        feats = feats._replace(
+            anchor=klt_ops.extract_anchors(pyr_left, feats.uv, cfg.klt), anchor_uv=feats.uv
+        )
+    with jax.named_scope("stereo_match"):
+        feats = find_features_in_right(cfg, rig, pyr_left, pyr_right, feats, wmap.lm_pos, T_cur)
+    with jax.named_scope("triangulate"):
+        feats, wmap, born = triangulate_new_points(cfg, rig, feats, wmap, T_cur)
 
     slot = jnp.argmin(wmap.kf_valid)  # first free slot (capacity > window size)
     obs_left = feats.valid & (feats.lm >= 0)

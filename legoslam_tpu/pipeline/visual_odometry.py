@@ -106,11 +106,15 @@ def process_frame(
 ) -> Tuple[VOCarry, FrameOutput]:
     """One full SLAM frame: Frontend::AddFrame (frontend_g2o.cpp:27-46) with
     the backend cycle folded into the keyframe branch when `inline_ba`."""
-    pyr_l = tuple(pyr_ops.build_pyramid(img_l, cfg.klt.levels))
+    with jax.named_scope("pyr_build_l"):
+        pyr_l = tuple(pyr_ops.build_pyramid(img_l, cfg.klt.levels))
+
     # The right pyramid feeds only stereo matching, which runs in the init
     # and keyframe-insert branches — build it there (inside lax.cond/switch)
     # so pure tracking frames skip the work entirely.
-    make_pyr_r = lambda: tuple(pyr_ops.build_pyramid(img_r, cfg.klt.levels))
+    def make_pyr_r():
+        with jax.named_scope("pyr_build_r"):
+            return tuple(pyr_ops.build_pyramid(img_r, cfg.klt.levels))
     eye = jnp.eye(4, dtype=img_l.dtype)
     no_chi = jnp.asarray(jnp.nan, img_l.dtype)
     i0 = jnp.asarray(0, jnp.int32)
@@ -123,7 +127,8 @@ def process_frame(
     def run_ba(wmap):
         if not inline_ba:
             return wmap, no_stats
-        wmap2, stats = backend_mod.ba_step(cfg, rig, wmap, ba_cfg, solve_fn=ba_solve_fn)
+        with jax.named_scope("window_ba"):
+            wmap2, stats = backend_mod.ba_step(cfg, rig, wmap, ba_cfg, solve_fn=ba_solve_fn)
         return wmap2, stats
 
     def branch_init(op):
@@ -152,13 +157,15 @@ def process_frame(
         # frame, and the rel/T_cur feedback amplifies it exponentially
         # (se3.so3_project docstring) — the round-1 long-horizon collapse.
         T_prior = se3.se3_orthonormalize(carry.rel_motion @ carry.T_cur)
-        feats = frontend_mod.track_last_frame(
-            cfg, rig, carry.pyr_last, pyr_l, carry.feats, carry.wmap.lm_pos, T_prior
-        )
+        with jax.named_scope("klt_track"):
+            feats = frontend_mod.track_last_frame(
+                cfg, rig, carry.pyr_last, pyr_l, carry.feats, carry.wmap.lm_pos, T_prior
+            )
         n_tracked = feats.count()
-        T_new, feats, n_in = frontend_mod.estimate_current_pose(
-            cfg, rig, feats, carry.wmap.lm_pos, T_prior
-        )
+        with jax.named_scope("pose_solve"):
+            T_new, feats, n_in = frontend_mod.estimate_current_pose(
+                cfg, rig, feats, carry.wmap.lm_pos, T_prior
+            )
         status = jnp.where(
             n_in >= cfg.num_features_tracking,
             int(FrontendStatus.TRACKING_GOOD),
@@ -179,9 +186,10 @@ def process_frame(
 
         def do_insert(op):
             feats, wmap = op
-            feats, wmap = frontend_mod.insert_keyframe(
-                cfg, rig, pyr_l, make_pyr_r(), img_l, feats, wmap, T_new, frame_id
-            )
+            with jax.named_scope("kf_insert"):
+                feats, wmap = frontend_mod.insert_keyframe(
+                    cfg, rig, pyr_l, make_pyr_r(), img_l, feats, wmap, T_new, frame_id
+                )
             wmap, ba = run_ba(wmap)
             return feats, wmap, ba
 
@@ -326,6 +334,13 @@ class VisualOdometry:
             return False
         self.rig = self.dataset.rig
         self.frontend_cfg = frontend_mod.FrontendConfig.from_config(self.config)
+        if self.frontend_cfg.use_marg_prior and self.ba_solve_fn is not None:
+            # Fail at init, not mid-run inside the first keyframe's solve
+            # (backend.solve_window would raise the same conflict later).
+            raise ValueError(
+                "use_marg_prior is not supported with an injected ba_solve_fn "
+                "(distributed BA): the prior requires the SoA single-chip solver"
+            )
         ba_cfg = backend_mod.BAConfig(
             iterations=self.config["ba_solver_iterations"],
             chi2_threshold=self.config["chi2_threshold"],
@@ -335,6 +350,7 @@ class VisualOdometry:
             linear_solver=self.config["linear_solver"],
             engine=self.config["lm_engine"],
             trace=bool(self.config["ba_trace"]),
+            assembly_precision=str(self.config["ba_assembly_precision"]),
         )
         self.log_every = int(self.config["log_every_n_frames"])
         cfg, rig = self.frontend_cfg, self.rig

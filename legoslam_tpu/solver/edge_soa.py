@@ -191,14 +191,25 @@ def soa_robust_chi(gs: GraphSoA, poses, points, kernel: str, delta: float) -> jn
 
 
 def soa_build(gs: GraphSoA, poses, points, kernel: str, delta: float,
-              with_chi: bool = False):
+              with_chi: bool = False, assembly_dtype=None):
     """Assemble the packed normal equations (buildHessian, problem.cpp:273-358).
 
     `with_chi=True` additionally returns the robust chi at the same point —
     rho0 falls out of the one robust-kernel evaluation the assembly already
     does, so the LM driver can fuse its per-attempt chi test with the
     re-linearization and pay ONE edge sweep per attempt instead of two
-    (lm.lm_optimize chi_build path).  Returns blocks or (blocks, chi)."""
+    (lm.lm_optimize chi_build path).  Returns blocks or (blocks, chi).
+
+    `assembly_dtype=jnp.bfloat16` runs the two landmark-axis one-hot
+    contractions (Hll and the (18K, E) x (E, L) Hpl product — ~97% of the
+    assembly FLOPs, 6 GFLOP at production shape) with bfloat16 inputs and
+    float32 accumulation: one native MXU pass instead of the 3-pass f32
+    emulation.  Per-edge math, residuals, chi, bp/bl and the Hpp pose blocks
+    stay float32.  The ~0.4% relative error this puts on Hll/Hpl entries only
+    perturbs the LM *step* (the model Hessian), never the objective: chi is
+    still measured in f32 and bad steps roll back, so the solver stays exact,
+    trading at most an extra iteration near convergence (A/B-tested in
+    tests/test_edge_soa.py::test_bf16_assembly_reaches_f32_optimum)."""
     K = poses.shape[0]
     ru, rv, Ju, Jv, Jlu, Jlv = _edge_core(gs, poses, points)
 
@@ -236,7 +247,18 @@ def soa_build(gs: GraphSoA, poses, points, kernel: str, delta: float,
 
     Hpp = Hpp_e @ gs.onehot_p.T          # (36, K)
     bp = bp_e @ gs.onehot_p.T            # (6, K)
-    Hll = Hll_e @ gs.onehot_l            # (9, L)
+
+    acc = jnp.float32 if assembly_dtype is not None else None
+    def lmm(A, B):
+        # landmark-axis contraction, optionally in reduced precision
+        if assembly_dtype is None:
+            return A @ B
+        return jax.lax.dot(
+            A.astype(assembly_dtype), B.astype(assembly_dtype),
+            preferred_element_type=acc,
+        ).astype(A.dtype)
+
+    Hll = lmm(Hll_e, gs.onehot_l)        # (9, L)
     bl = bl_e @ gs.onehot_l              # (3, L)
 
     # Cross blocks: mask the 18 components by pose lane, one matmul over E.
@@ -244,7 +266,7 @@ def soa_build(gs: GraphSoA, poses, points, kernel: str, delta: float,
         [JWu[a] * Jlu[b] + JWv[a] * Jlv[b] for a in range(6) for b in range(3)]
     )  # (18, E)
     P1 = (Hpl_e[None] * gs.onehot_p[:, None, :]).reshape(K * 18, -1)  # (18K, E)
-    Hpl = (P1 @ gs.onehot_l).reshape(K, 6, 3, -1).reshape(K * 6, 3, -1)  # (6K, 3, L)
+    Hpl = lmm(P1, gs.onehot_l).reshape(K, 6, 3, -1).reshape(K * 6, 3, -1)  # (6K, 3, L)
     blocks = SoABlocks(Hpp=Hpp, Hll=Hll, Hpl=Hpl, bp=bp, bl=bl)
     if with_chi:
         # Matches soa_robust_chi: invalid edges have r = 0 => rho0 = 0 for

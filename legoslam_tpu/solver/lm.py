@@ -39,6 +39,10 @@ class LMConfig(NamedTuple):
     trace: bool = False              # record per-iteration (chi, lambda) like
                                      # the reference's solve printout
                                      # (problem.cpp:180-184)
+    # "f32" | "bf16": precision of the landmark-axis assembly contractions
+    # (edge_soa.soa_build assembly_dtype — see its docstring).  Affects only
+    # the model Hessian; chi and the accept/rollback loop stay f32.
+    assembly_precision: str = "f32"
 
 
 class LMFunctions(NamedTuple):
@@ -113,10 +117,13 @@ def lm_optimize(fns: LMFunctions, state0: Any, cfg: LMConfig) -> LMResult:
         return (~c["stop"]) & (c["it"] < cfg.iterations)
 
     def body(c):
-        dx = fns.solve(c["aux"], c["lam"])
-        cand = fns.retract(c["state"], dx)
+        with jax.named_scope("lm_linear_solve"):
+            dx = fns.solve(c["aux"], c["lam"])
+        with jax.named_scope("lm_retract"):
+            cand = fns.retract(c["state"], dx)
         if fns.chi_build is not None:
-            temp_chi, aux_cand = fns.chi_build(cand)
+            with jax.named_scope("lm_chi_build"):
+                temp_chi, aux_cand = fns.chi_build(cand)
         else:
             temp_chi = fns.chi(cand)
             aux_cand = None
@@ -293,6 +300,7 @@ def _solve_ba_soa(
     from legoslam_tpu.solver import edge_soa
 
     gs = edge_soa.make_soa_graph(graph)
+    asm_dtype = jnp.bfloat16 if cfg.assembly_precision == "bf16" else None
 
     if pose_prior is not None:
         prior_J, prior_err0, prior_T = pose_prior
@@ -308,7 +316,9 @@ def _solve_ba_soa(
         prior_H = None
 
     def build(st: BAState):
-        blocks = edge_soa.soa_build(gs, st.poses, st.points, kernel, delta)
+        blocks = edge_soa.soa_build(
+            gs, st.poses, st.points, kernel, delta, assembly_dtype=asm_dtype
+        )
         # First-order prior b at this linearization: -J^T r_p  (the running
         # update of problem.cpp:447-453, recomputed exactly instead).
         bprior = -(prior_J.T @ prior_res(st)) if prior_H is not None else None
@@ -324,7 +334,8 @@ def _solve_ba_soa(
     def chi_build(st: BAState):
         # One edge sweep yields both the candidate chi and its assembly.
         blocks, chi = edge_soa.soa_build(
-            gs, st.poses, st.points, kernel, delta, with_chi=True
+            gs, st.poses, st.points, kernel, delta, with_chi=True,
+            assembly_dtype=asm_dtype,
         )
         bprior = None
         if prior_H is not None:

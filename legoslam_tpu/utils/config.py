@@ -65,6 +65,12 @@ DEFAULTS: Dict[str, Any] = {
     # --- solver (problem.cpp:470-581) ---
     "lm_strategy": "default",      # "default" (Nielsen) | "strategy1"
     "lm_engine": "soa",            # "soa" (component-major) | "blocks"
+    # Precision of the BA assembly's landmark-axis MXU contractions: "bf16"
+    # (one native pass; ~0.4% Hessian perturbation, chi/rollback stay f32) or
+    # "f32" (3-pass emulation, bit-faithful model).  The reference solves in
+    # f64 on CPU (problem.cpp); bf16-assembly reaches the same optimum (A/B
+    # test in tests/test_edge_soa.py) at ~1/3 the assembly cost.
+    "ba_assembly_precision": "bf16",
     # Marginalize evicted keyframes into a pose prior (problem.cpp:617-781;
     # shipped but uncalled in the reference pipeline).  Off reproduces the
     # reference's discard-on-evict (map.cpp:34-86).
@@ -74,7 +80,7 @@ DEFAULTS: Dict[str, Any] = {
     # thumbnail place recognition -> KLT/pose-solve verification -> pose-graph
     # correction (pipeline/loop_closure.py).
     "use_loop_closure": False,
-    "loop_zncc_min": 0.85,
+    "loop_zncc_min": 0.5,
     "loop_min_gap": 10,
     "loop_min_inliers": 25,
     "loop_edge_weight": 20.0,

@@ -69,6 +69,39 @@ def rpe_rmse(est_poses: Sequence[np.ndarray], gt_poses: Sequence[np.ndarray], de
     return float(np.sqrt(np.mean(np.square(t_errs)))), float(np.sqrt(np.mean(np.square(r_errs))))
 
 
+def drift_rate(
+    est_poses: np.ndarray, gt_poses: np.ndarray, segment_m: float = 100.0
+) -> float:
+    """Open-loop drift in meters per `segment_m` meters traveled (the KITTI
+    odometry-benchmark style metric, complementing ATE for long sequences).
+
+    For every start index, find the frame where ground-truth path length
+    first exceeds `segment_m` (or use the remaining tail if the sequence is
+    shorter), express both trajectories relative to the segment start, and
+    measure the endpoint translation error normalized by traveled distance.
+    Returns the mean over all segments, scaled to meters per segment_m.
+    """
+    est = np.asarray(est_poses, np.float64)
+    gt = np.asarray(gt_poses, np.float64)
+    step = np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(step)])
+    errs = []
+    for i in range(len(gt) - 1):
+        target = cum[i] + segment_m
+        j = int(np.searchsorted(cum, target))
+        j = min(j, len(gt) - 1)
+        dist = cum[j] - cum[i]
+        if dist < 1e-6:
+            continue
+        de = np.linalg.inv(est[i]) @ est[j]
+        dg = np.linalg.inv(gt[i]) @ gt[j]
+        err = np.linalg.norm(de[:3, 3] - dg[:3, 3])
+        errs.append(err / dist)
+        if j == len(gt) - 1 and dist < segment_m:
+            break
+    return float(np.mean(errs) * segment_m) if errs else 0.0
+
+
 def save_kitti_trajectory(path: str, poses_wc: Sequence[np.ndarray]) -> None:
     """Write world-from-camera poses as KITTI 12-number rows."""
     with open(path, "w") as f:

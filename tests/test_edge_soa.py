@@ -160,3 +160,27 @@ def test_solve_ba_engines_agree(problem):
     assert float(res_soa.chi) < 0.9 * float(
         schur.robust_chi(graph, poses, points, robust.HUBER, 5.991)
     )
+
+
+def test_bf16_assembly_reaches_f32_optimum(problem):
+    """assembly_precision="bf16" perturbs only the model Hessian (~0.4%
+    relative); the LM loop must still reach the f32 engine's optimum chi.
+    This is the A/B gate for the production default
+    (utils/config.py ba_assembly_precision)."""
+    graph, poses, points = problem
+    st32, res32 = jax.jit(
+        lambda p, x: lm_ops.solve_ba(graph, p, x, cfg=lm_ops.LMConfig(iterations=10))
+    )(poses, points)
+    st16, res16 = jax.jit(
+        lambda p, x: lm_ops.solve_ba(
+            graph, p, x,
+            cfg=lm_ops.LMConfig(iterations=10, assembly_precision="bf16"),
+        )
+    )(poses, points)
+    chi0 = float(schur.robust_chi(graph, poses, points, robust.HUBER, 5.991))
+    assert float(res16.chi) < 0.9 * chi0  # genuinely optimized
+    # Same optimum within noise: chi within 0.5% of the f32 engine's.
+    np.testing.assert_allclose(float(res16.chi), float(res32.chi), rtol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(st16.poses), np.asarray(st32.poses), rtol=0, atol=1e-2
+    )

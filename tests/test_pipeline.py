@@ -148,7 +148,7 @@ def test_vo_end_to_end_with_ba(dataset):
     assert np.isfinite(chis).any()  # BA actually ran
 
 
-def test_process_chunk_matches_stepwise(dataset):
+def test_process_chunk_matches_stepwise():
     """Offline scan mode (process_chunk) is the per-frame step unchanged:
     same poses, statuses, and keyframe events as the stepwise loop."""
     ds = make_dataset(n_frames=10)
