@@ -297,6 +297,76 @@ def main():
         f"scan {n/dt_m2:.1f}), tracking ratio {good_m:.2f}, "
         f"mean tracked {mean_tracked_m:.0f}")
 
+    # --- async BA: the reference's backend-thread split, measured -----------
+    # ba_mode=async removes the window solve from the keyframe frame's
+    # critical path (pipeline/async_backend.py).  Throughput uses free-running
+    # dispatch; the per-frame latency split (tracking vs keyframe frames,
+    # inline vs async) blocks on each frame's pose output.
+    from legoslam_tpu.pipeline.visual_odometry import VisualOdometry
+
+    class _ListDataset:
+        def __init__(self, frames, rig):
+            self.frames, self.rig, self.i = frames, rig, 0
+
+        def init(self):
+            self.i = 0
+            return True
+
+        def next_frame(self):
+            from legoslam_tpu.pipeline.dataset import StereoFrame
+
+            if self.i >= len(self.frames):
+                return None
+            l, r = self.frames[self.i]
+            fr = StereoFrame(self.i, l, r)
+            self.i += 1
+            return fr
+
+    vo_config = Config({
+        "stereo_depth_inferior_limit": 2.0,
+        "stereo_depth_superior_limit": 60.0,
+    })
+
+    def vo_run(mode, latency=False):
+        vo = VisualOdometry(
+            config=vo_config, dataset=_ListDataset(frames, rig), ba_mode=mode
+        )
+        assert vo.init()
+        for _ in range(WARMUP):  # warmup/compile outside timing
+            vo.step()
+        jax.block_until_ready(vo.carry)
+        lat_kf, lat_tr = [], []
+        t0 = time.perf_counter()
+        while True:
+            t1 = time.perf_counter()
+            fr = vo.dataset.next_frame()
+            if fr is None:
+                break
+            out = vo.process(fr)
+            if latency:
+                jax.block_until_ready(out.T_cw)
+                (lat_kf if bool(out.kf_inserted) else lat_tr).append(
+                    (time.perf_counter() - t1) * 1e3
+                )
+        vo.flush_ba()
+        jax.block_until_ready(vo.carry)
+        dt = time.perf_counter() - t0
+        return n / dt, lat_tr, lat_kf
+
+    def pct(v, p):
+        return float(np.percentile(v, p)) if v else float("nan")
+
+    fps_async, _, _ = vo_run("async")
+    fps_inline_vo, _, _ = vo_run("inline")
+    _, ltr_a, lkf_a = vo_run("async", latency=True)
+    _, ltr_i, lkf_i = vo_run("inline", latency=True)
+    log(f"bench: VO-driver inline {fps_inline_vo:.1f} fps / async {fps_async:.1f} fps")
+    log("bench: per-frame latency ms (median/p90): "
+        f"inline tracking {pct(ltr_i,50):.2f}/{pct(ltr_i,90):.2f} "
+        f"keyframe {pct(lkf_i,50):.2f}/{pct(lkf_i,90):.2f} | "
+        f"async tracking {pct(ltr_a,50):.2f}/{pct(ltr_a,90):.2f} "
+        f"keyframe {pct(lkf_a,50):.2f}/{pct(lkf_a,90):.2f}")
+
     ref_fps, ref_src = reference_cpu_fps()
     log(f"bench: reference-equivalent CPU frontend {ref_fps:.1f} fps ({ref_src}, "
         f"150 feature tracks, no BA)")
@@ -321,6 +391,11 @@ def main():
         "mode": mode,
         "fps_scan": round(fps, 3),
         "fps_stepwise": round(fps_step, 3),
+        # the reference's backend-thread split (ba_mode=async), run through
+        # the full VisualOdometry driver incl. host hooks
+        "fps_async": round(fps_async, 3),
+        "kf_latency_ms_inline": round(pct(lkf_i, 50), 2),
+        "kf_latency_ms_async": round(pct(lkf_a, 50), 2),
         "reference_cpu_fps": round(ref_fps, 1),
         "reference_cpu_source": ref_src,
         "mean_tracked_features": round(mean_tracked, 1),

@@ -211,6 +211,7 @@ class SyntheticPlanesDataset:
         length: float = 120.0,
         half_width: float = 8.0,
         ground_y: float = 1.6,
+        z_min: float = -5.0,
         trajectory: Optional[np.ndarray] = None,
         n_occluders: int = 0,
         dynamic_occluders: int = 0,
@@ -244,6 +245,10 @@ class SyntheticPlanesDataset:
         self.length = length
         self.half_width = half_width
         self.ground_y = ground_y
+        # rear extent of the world box: push it far negative for trajectories
+        # that look backward (loops); the default matches the forward-driving
+        # corridor
+        self.z_min = z_min
         self.photometric_noise = photometric_noise
         self.exposure_drift = exposure_drift
         rng_occ = np.random.default_rng(seed * 7919 + 17)
@@ -325,7 +330,7 @@ class SyntheticPlanesDataset:
             pts = origin[None, None, :] + t[..., None] * d_world
             ok = (t > 0.05) & (t < best_t)
             # stay within the corridor box
-            ok &= (pts[..., 2] > -5) & (pts[..., 2] < self.length + 1e-3)
+            ok &= (pts[..., 2] > self.z_min) & (pts[..., 2] < self.length + 1e-3)
             ok &= np.abs(pts[..., 0]) <= self.half_width + 1e-3
             ok &= pts[..., 1] <= self.ground_y + 1e-3
             tex = _texture(pts[..., ta] * 3.0, pts[..., tb] * 3.0, self.seed * 101 + salt)

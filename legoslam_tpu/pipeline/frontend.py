@@ -63,6 +63,14 @@ class FrontendConfig(NamedTuple):
     # reference's last-frame-to-current tracking (frontend_g2o.cpp:453-492).
     track_mode: str = "anchored"
     track_min_zncc: float = 0.5
+    # Pyramid levels used by the anchored temporal tracker (0 = all of
+    # klt.levels).  Anchored tracking seeds each lane at its landmark's
+    # projection under the constant-velocity prior — within a few px — so the
+    # coarse levels built for large unknown motions (the reference's
+    # frame-to-frame scheme, algorithm.cpp:128-206) only burn GN iterations
+    # on /4- and /8-scale template mismatch.  Detection-time stereo matching
+    # and the "frame" track mode keep the full pyramid.
+    track_levels: int = 0
     scanline: stereo_ops.ScanlineConfig = stereo_ops.ScanlineConfig()
     # Insert a keyframe after this many frames even if the inlier count stays
     # high (no reference analogue — the reference triggers only on counts,
@@ -76,7 +84,7 @@ class FrontendConfig(NamedTuple):
     # (VINS-style): re-observed landmarks overlap with it, so the weight
     # tempers double-counted information.
     use_marg_prior: bool = False
-    marg_prior_weight: float = 1.0
+    marg_prior_weight: float = 0.5
 
     @staticmethod
     def from_config(cfg) -> "FrontendConfig":
@@ -125,6 +133,7 @@ class FrontendConfig(NamedTuple):
             max_keyframe_gap=int(cfg["max_keyframe_gap"]),
             track_mode=cfg["track_mode"],
             track_min_zncc=float(cfg["track_min_zncc"]),
+            track_levels=int(cfg["track_levels"]),
             use_marg_prior=bool(cfg["use_marg_prior"]),
             marg_prior_weight=float(cfg["marg_prior_weight"]),
         )
@@ -147,20 +156,45 @@ def track_last_frame(
     feats: Features,
     lm_pos: jnp.ndarray,
     T_prior: jnp.ndarray,
+    rel_motion: jnp.ndarray = None,
 ) -> Features:
     """TrackLastFrame (frontend_g2o.cpp:453-492): track features into the
     current frame, seeding landmark-linked lanes with their projection under
-    the constant-velocity prior.
+    the constant-velocity prior and unlinked lanes with the infinite-depth
+    (rotation-only) flow of that prior.
+
+    The rotation seed matters on rotation-heavy motion: a 3 deg/frame yaw
+    moves features ~15 px, which zero-motion-seeded lanes only survive via
+    the coarse pyramid levels the anchored tracker no longer runs
+    (track_levels); rotating the ray K^-1 [u,v,1] by the relative rotation
+    predicts that flow exactly for far points and well enough for near ones.
 
     track_mode "anchored" matches keyframe templates (drift-free); "frame"
     reproduces the reference's last-frame-to-current KLT with an optional
     forward-backward gate."""
     has_lm = feats.lm >= 0
     proj = rig.left.world2pixel(_safe_gather_lm(lm_pos, feats.lm), T_prior)
-    guess = jnp.where(has_lm[:, None], proj, feats.uv)
+    if rel_motion is not None:
+        c = rig.left
+        R = rel_motion[:3, :3]
+        dx = (feats.uv[:, 0] - c.cx) / c.fx
+        dy = (feats.uv[:, 1] - c.cy) / c.fy
+        d = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1) @ R.T
+        z = jnp.where(jnp.abs(d[:, 2]) > 1e-6, d[:, 2], 1.0)
+        rot_guess = jnp.stack(
+            [c.fx * d[:, 0] / z + c.cx, c.fy * d[:, 1] / z + c.cy], axis=-1
+        )
+    else:
+        rot_guess = feats.uv
+    guess = jnp.where(has_lm[:, None], proj, rot_guess)
     if cfg.track_mode == "anchored":
+        klt_cfg = cfg.klt
+        if 0 < cfg.track_levels < klt_cfg.levels:
+            # anchors are stored finest-first, so truncating the level count
+            # tracks on the finest `track_levels` levels only
+            klt_cfg = klt_cfg._replace(levels=cfg.track_levels)
         kp2, ok = klt_ops.klt_pyramid_anchored(
-            feats.anchor, feats.anchor_uv, pyr_cur, guess, feats.valid, cfg.klt,
+            feats.anchor, feats.anchor_uv, pyr_cur, guess, feats.valid, klt_cfg,
             min_zncc=cfg.track_min_zncc,
         )
     else:

@@ -159,7 +159,8 @@ def process_frame(
         T_prior = se3.se3_orthonormalize(carry.rel_motion @ carry.T_cur)
         with jax.named_scope("klt_track"):
             feats = frontend_mod.track_last_frame(
-                cfg, rig, carry.pyr_last, pyr_l, carry.feats, carry.wmap.lm_pos, T_prior
+                cfg, rig, carry.pyr_last, pyr_l, carry.feats, carry.wmap.lm_pos,
+                T_prior, rel_motion=carry.rel_motion,
             )
         n_tracked = feats.count()
         with jax.named_scope("pose_solve"):

@@ -107,11 +107,21 @@ def _edge_core(gs: GraphSoA, poses: jnp.ndarray, points: jnp.ndarray):
     R00, R01, R02, t0 = Tcomp[0], Tcomp[1], Tcomp[2], Tcomp[3]
     R10, R11, R12, t1 = Tcomp[4], Tcomp[5], Tcomp[6], Tcomp[7]
     R20, R21, R22, t2 = Tcomp[8], Tcomp[9], Tcomp[10], Tcomp[11]
-    # Point components via 1-D takes.
-    idx = g.e_point
-    pwx = jnp.take(points[:, 0], idx)
-    pwy = jnp.take(points[:, 1], idx)
-    pwz = jnp.take(points[:, 2], idx)
+    # Point components.  When the landmark one-hot exists (the solve path,
+    # which runs this once per LM attempt), gather on the MXU: a 1-D take of
+    # E elements costs ~27 us on a v5e vs ~2 us for the (L,3)x(E,L)
+    # contraction, and three takes per iteration were the single largest
+    # cost of the window solve (device trace, PROFILE.md round 4).  The
+    # one-hot has exactly one 1.0 per row, so there is no summation
+    # cancellation and the contraction reproduces the take bit-accurately.
+    if gs.onehot_l is not None:
+        pcomp = gs.onehot_l @ points  # (E, 3) plain GEMM
+        pwx, pwy, pwz = pcomp[:, 0], pcomp[:, 1], pcomp[:, 2]
+    else:
+        idx = g.e_point
+        pwx = jnp.take(points[:, 0], idx)
+        pwy = jnp.take(points[:, 1], idx)
+        pwz = jnp.take(points[:, 2], idx)
 
     prx = R00 * pwx + R01 * pwy + R02 * pwz + t0
     pry = R10 * pwx + R11 * pwy + R12 * pwz + t1
@@ -258,7 +268,8 @@ def soa_build(gs: GraphSoA, poses, points, kernel: str, delta: float,
             preferred_element_type=acc,
         ).astype(A.dtype)
 
-    Hll = lmm(Hll_e, gs.onehot_l)        # (9, L)
+    Hll = Hll_e @ gs.onehot_l            # (9, L)  (f32: bf16 here buys ~3%
+    #   of the assembly FLOPs but traded badly in compile time)
     bl = bl_e @ gs.onehot_l              # (3, L)
 
     # Cross blocks: mask the 18 components by pose lane, one matmul over E.

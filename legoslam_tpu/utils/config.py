@@ -46,6 +46,10 @@ DEFAULTS: Dict[str, Any] = {
     "max_keyframe_gap": 5,         # force a keyframe after N frames (no reference analogue)
     "track_mode": "anchored",      # "anchored" | "frame" (reference behavior)
     "track_min_zncc": 0.5,
+    # Pyramid levels for the anchored temporal tracker (0 = all klt levels);
+    # see FrontendConfig.track_levels.  3 beats 4 on the 200-frame corridor
+    # (ATE 0.043 vs 0.057): the /8 level only mismatches templates.
+    "track_levels": 3,
     # --- pose estimation (frontend_g2o.cpp:199-204) ---
     "pose_outer_iterations": 4,
     "pose_solver_iterations": 10,
@@ -75,7 +79,11 @@ DEFAULTS: Dict[str, Any] = {
     # shipped but uncalled in the reference pipeline).  Off reproduces the
     # reference's discard-on-evict (map.cpp:34-86).
     "use_marg_prior": False,
-    "marg_prior_weight": 1.0,
+    # 0.5, not 1.0: the recursive prior overlaps with re-observed landmarks
+    # still in the window, so full weight double-counts their information and
+    # measurably biases the window (100-frame tiny-window A/B: ATE 0.049 at
+    # w=0.5 vs 0.165 at w=1.0 vs 0.054 with the prior off).
+    "marg_prior_weight": 0.5,
     # Loop closure (the reference's declared TODO, CMakeLists.txt:74-77):
     # thumbnail place recognition -> KLT/pose-solve verification -> pose-graph
     # correction (pipeline/loop_closure.py).

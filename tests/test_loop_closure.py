@@ -108,22 +108,31 @@ def test_verify_rejects_unrelated_view():
     assert not ok, f"unrelated view verified with {n_in} inliers"
 
 
-def loop_trajectory(n_straight=25, n_circle=110, n_tail=30, speed=0.25):
-    """Straight -> full 360-degree circle -> straight: the discrete circle
-    closes exactly (sum of N equally-spaced unit headings is zero), so the
-    tail revisits the first segment's poses with identical heading."""
+def loop_trajectory(side=32, turn=24, speed=0.3, tail=28):
+    """A rounded-square lap (4 straights + 4 raised-cosine 90-degree turns)
+    whose tail re-drives the first straight: the discrete lap closes exactly,
+    so tail frames revisit early poses with matched heading.  The smooth
+    yaw-rate profile keeps angular acceleration physical (~1 deg/frame^2) —
+    a kinked profile breaks the constant-velocity motion prior the tracker
+    seeds from, which no real vehicle trajectory does."""
+    r = np.arange(turn)
+    w = 0.5 * (1 - np.cos(2 * np.pi * (r + 0.5) / turn))
+    w = w * (np.pi / 2 / w.sum())
+    dyaws = []
+    for _ in range(4):
+        dyaws.append(np.zeros(side))
+        dyaws.append(w)
+    dyaws.append(np.zeros(tail))
     poses, pos, yaw = [], np.zeros(3), 0.0
-    dyaw = 2 * np.pi / n_circle
-    for n, dy in [(n_straight, 0.0), (n_circle, dyaw), (n_tail, 0.0)]:
-        for _ in range(n):
-            c, s = np.cos(yaw), np.sin(yaw)
-            R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
-            T = np.eye(4)
-            T[:3, :3] = R
-            T[:3, 3] = pos
-            poses.append(T.copy())
-            pos = pos + R @ np.array([0.0, 0.0, speed])
-            yaw += dy
+    for dy in np.concatenate(dyaws):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        poses.append(T.copy())
+        pos = pos + R @ np.array([0.0, 0.0, speed])
+        yaw += dy
     return np.stack(poses)
 
 
@@ -145,7 +154,7 @@ def test_loop_closure_end_to_end():
         "max_features": 320,
         "keyframe_window_capacity": 8,
         "max_active_landmarks": 1536,
-        "max_landmarks": 8192,
+        "max_landmarks": 16384,
         "num_active_keyframes": 7,
         "stereo_depth_inferior_limit": 2.0,
         "stereo_depth_superior_limit": 50.0,
@@ -157,7 +166,7 @@ def test_loop_closure_end_to_end():
     for zncc in (1.1, 0.5):
         ds = SyntheticPlanesDataset(
             shape=SHAPE, focal=FOCAL, baseline=0.54,
-            half_width=14.0, length=80.0, trajectory=traj,
+            half_width=20.0, length=30.0, z_min=-25.0, trajectory=traj,
         )
         vo = VisualOdometry(config=Config({**base, "loop_zncc_min": zncc}), dataset=ds)
         assert vo.init()
