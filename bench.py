@@ -200,7 +200,9 @@ def main():
         statuses = [int(s) for s in outs]
     fps_step = n / dt
 
-    good = sum(1 for s in statuses if s in (1, 2)) / max(1, len(statuses))
+    # Strict: only TRACKING_GOOD counts — a run that degrades to TRACKING_BAD
+    # must not report ratio 1.0 (ADVICE round 4).
+    good = sum(1 for s in statuses if s == 1) / max(1, len(statuses))
     log(f"bench: stepwise {n} frames in {dt:.2f}s -> {fps_step:.2f} fps "
         f"({1e3 * dt / n:.2f} ms/frame), tracking ratio {good:.2f}")
 
@@ -289,7 +291,7 @@ def main():
         jax.block_until_ready(outs_m.status)
         dt_m2 = min(dt_m2, time.perf_counter() - t0)
     fps_matched = n / min(dt_m, dt_m2)
-    good_m = sum(1 for s in statuses_m if s in (1, 2)) / max(1, len(statuses_m))
+    good_m = sum(1 for s in statuses_m if s == 1) / max(1, len(statuses_m))
     tracked_m = [int(t) for t in outs_m.n_tracked]
     mean_tracked_m = sum(tracked_m) / max(1, len(tracked_m))
     log(f"bench: matched-workload (192 lanes, no inline BA) {fps_matched:.2f} fps "

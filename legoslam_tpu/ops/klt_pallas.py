@@ -340,6 +340,16 @@ def klt_level_anchored_tile_pallas(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tile-sampled drop-in for `klt_level_anchored_pallas` (see banner)."""
     H, W = img2.shape
+    if patch + 2 > 21:
+        # _tile_origins centers the initial window with fixed -64/-12 offsets;
+        # the binding constraint is the 32-row tile: a first-iteration window
+        # start can sit 20 - (halo-1)/2 rows into the tile and must leave
+        # halo + 1 rows of headroom, which fails for halo > 21.  Fail loudly
+        # instead of silently marking every lane out-of-tile.
+        raise ValueError(
+            f"klt_level_anchored_tile_pallas supports patch <= 19 (halo <= 21); "
+            f"got patch={patch}; use klt_level_anchored_pallas for larger patches"
+        )
     HP = max(-(-H // 8) * 8, TILE_Y)
     WP = max(-(-W // 128) * 128, TILE_X)
     imgp = jnp.pad(img2, ((0, HP - H), (0, WP - W)), mode="edge")

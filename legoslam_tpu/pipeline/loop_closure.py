@@ -42,17 +42,42 @@ from legoslam_tpu.utils.logging import get_logger
 
 log = get_logger("legoslam.loop")
 
+# Optional diagnostics: set LEGOSLAM_LOOP_DEBUG=<path> to append a pickle of
+# every accepted closure (measurement, stored poses, pose-graph in/out).
+import os as _os
+
+_DEBUG_PATH = _os.environ.get("LEGOSLAM_LOOP_DEBUG", "")
+
+
+def _debug_dump(tag: str, payload: dict) -> None:
+    if not _DEBUG_PATH:
+        return
+    import pickle
+
+    with open(_DEBUG_PATH, "ab") as f:
+        pickle.dump({"tag": tag, **payload}, f)
+
 THUMB = (12, 20)  # thumbnail grid (rows, cols)
 
 
 @dataclass
 class KeyframeRecord:
-    """Host-side snapshot of one keyframe at insertion time."""
+    """Host-side snapshot of one keyframe at insertion time.
+
+    `T_cw` is the record's *current best* pose: it starts as the insertion-time
+    odometry and is overwritten by every accepted pose-graph correction.
+    `T_cw_obs` is the immutable insertion-time pose — the epoch the stored
+    landmarks (`p_world`) live in; loop measurements must be built against it,
+    not against the corrected `T_cw` (a later correction would otherwise
+    silently shift the measurement's reference frame).
+    `img` is stored quantized (uint8) so the record set stays bounded at
+    KITTI scale (~29 KB/keyframe at half resolution instead of 116 KB)."""
 
     frame_id: int
-    T_cw: np.ndarray        # (4, 4) pose at insertion (drifted odometry)
+    T_cw: np.ndarray        # (4, 4) current best pose (pose-graph corrected)
+    T_cw_obs: np.ndarray    # (4, 4) insertion-time pose (immutable epoch)
     thumb: np.ndarray       # THUMB, zero-mean unit-norm
-    img: np.ndarray         # (H/2, W/2) half-resolution left image
+    img: np.ndarray         # (H/2, W/2) half-resolution left image, uint8
     uv: np.ndarray          # (M, 2) feature positions in the half-res image
     p_world: np.ndarray     # (M, 3) landmark positions at insertion
     n_feats: int
@@ -103,6 +128,13 @@ class LoopConfig:
     # (measured: 0.4 m true vs 2.0 m alias over a 28 m loop).
     consistency_floor: float = 0.5
     consistency_frac: float = 0.05
+    # Post-optimization acceptance gate: the pose graph exists to *absorb* the
+    # loop residual, so a healthy solve ends with chi well below the
+    # pre-correction chi (measured: 7.2 -> 0.098 on the corridor lap).  A
+    # solve that fails to converge — or converges to a mangled chain — ends
+    # at or above chi0 and must be rejected rather than applied (a bad
+    # correction is strictly worse than no correction).
+    pg_accept_chi_ratio: float = 0.5
     # After an accepted closure, skip detection for this many keyframes: the
     # pose graph just absorbed the loop, and immediately re-closing against
     # neighbors of the same revisit re-measures the (now mostly corrected)
@@ -129,9 +161,14 @@ class LoopCloser:
         )
         self.records: List[KeyframeRecord] = []
         self.loop_edges: List[Tuple[int, int, np.ndarray]] = []  # (i_new, j_old, M_ij)
-        self.stats = {"candidates": 0, "verified": 0, "closures": 0}
+        self.stats = {"candidates": 0, "verified": 0, "closures": 0, "pg_rejected": 0}
         self._cooldown = 0
         self._verify_fn = jax.jit(self._verify_device)
+        # Pose-graph solve, jitted once per capacity bucket (shapes recompile
+        # only when the keyframe count crosses a rounding boundary).
+        self._pg_fn = jax.jit(
+            self._pg_solve_device, static_argnames=("iterations",)
+        )
 
     # ------------------------------------------------------------------
     def add_keyframe(
@@ -149,9 +186,12 @@ class LoopCloser:
         n = min(len(uv), M)
         uv_p[:n] = uv[:n] * 0.5
         pw_p[:n] = p_world[:n]
+        T64 = np.asarray(T_cw, np.float64)
         rec = KeyframeRecord(
-            frame_id=frame_id, T_cw=np.asarray(T_cw, np.float64),
-            thumb=make_thumbnail(img), img=img, uv=uv_p, p_world=pw_p, n_feats=n,
+            frame_id=frame_id, T_cw=T64.copy(), T_cw_obs=T64.copy(),
+            thumb=make_thumbnail(img),
+            img=np.clip(img, 0.0, 255.0).astype(np.uint8),
+            uv=uv_p, p_world=pw_p, n_feats=n,
         )
         self.records.append(rec)
         if self._cooldown > 0:
@@ -173,9 +213,35 @@ class LoopCloser:
         self.stats["verified"] += 1
         i = len(self.records) - 1
         self.loop_edges.append((i, j, M_ij))
-        log.info("loop: closing kf%d -> kf%d (%d inliers)", i, j, n_in)
+        _debug_dump("closure", dict(
+            i=i, j=j, M=np.asarray(M_ij), n_in=n_in,
+            fids=[r.frame_id for r in self.records],
+            pre=np.stack([r.T_cw for r in self.records]),
+        ))
         T_old_last = self.records[-1].T_cw.copy()
-        corrected = self._optimize()
+        corrected, chi0, chi1 = self._optimize()
+        # Acceptance gate (LoopConfig.pg_accept_chi_ratio): a correction is
+        # only applied if the solve actually absorbed the loop residual.
+        if not (np.isfinite(chi1) and chi1 <= self.cfg.pg_accept_chi_ratio * chi0 + 1e-2):
+            self.loop_edges.pop()
+            self.stats["pg_rejected"] += 1
+            log.warning(
+                "loop: pose-graph solve rejected (chi %.4f -> %.4f, gate %.2f); "
+                "closure kf%d -> kf%d dropped", chi0, chi1,
+                self.cfg.pg_accept_chi_ratio, i, j,
+            )
+            return None
+        log.info("loop: closing kf%d -> kf%d (%d inliers, chi %.3f -> %.3f)",
+                 i, j, n_in, chi0, chi1)
+        # Persist the corrected poses as the new odometry anchor for future
+        # edges (observation epochs T_cw_obs stay untouched).
+        for k, r in enumerate(self.records):
+            r.T_cw = corrected[k].copy()
+        _debug_dump("optimize", dict(
+            pre=None, post=corrected.copy(),
+            fids=[r.frame_id for r in self.records],
+            loop_edges=[(a, b, Mm.copy()) for (a, b, Mm) in self.loop_edges],
+        ))
         # World-to-world correction from the newest keyframe: x_c = T p_old =
         # T' p_new  =>  p_new = T'^-1 T p_old.
         G = np.linalg.inv(corrected[-1]) @ T_old_last
@@ -230,26 +296,31 @@ class LoopCloser:
         rec_i = self.records[-1]
         rec_j = self.records[j]
         cfg = self.cfg
-        pyr_j = tuple(pyr_ops.build_pyramid(jnp.asarray(rec_j.img), cfg.klt.levels))
-        pyr_i = tuple(pyr_ops.build_pyramid(jnp.asarray(rec_i.img), cfg.klt.levels))
+        pyr_j = tuple(pyr_ops.build_pyramid(
+            jnp.asarray(rec_j.img, jnp.float32), cfg.klt.levels))
+        pyr_i = tuple(pyr_ops.build_pyramid(
+            jnp.asarray(rec_i.img, jnp.float32), cfg.klt.levels))
         valid = jnp.arange(cfg.max_feats) < rec_j.n_feats
+        # The solve runs in the candidate's *observation* epoch (T_cw_obs,
+        # the frame rec_j.p_world lives in) — NOT the corrected T_cw, whose
+        # epoch moves with every accepted closure.
         T_loop, n_in = self._verify_fn(
             pyr_j, pyr_i, jnp.asarray(rec_j.uv), valid,
-            jnp.asarray(rec_j.p_world), jnp.asarray(rec_j.T_cw, jnp.float32),
+            jnp.asarray(rec_j.p_world), jnp.asarray(rec_j.T_cw_obs, jnp.float32),
         )
         n_in = int(n_in)
         if n_in < cfg.min_inliers:
             return False, np.eye(4), n_in
         # Loop measurement M_ij = T_i T_j^-1 with T_i measured as T_loop (the
-        # new keyframe's pose expressed in the candidate's epoch).
-        M = np.asarray(T_loop, np.float64) @ np.linalg.inv(rec_j.T_cw)
+        # new keyframe's pose expressed in the candidate's observation epoch).
+        M = np.asarray(T_loop, np.float64) @ np.linalg.inv(rec_j.T_cw_obs)
         # Odometry-consistency gate (LoopConfig.consistency_*): the implied
         # correction = how far the measurement moves keyframe i from where
         # odometry put it; bound it by the drift the path could plausibly
         # have accumulated.
         M_odom = rec_i.T_cw @ np.linalg.inv(rec_j.T_cw)
         correction = np.linalg.norm(M[:3, 3] - M_odom[:3, 3])
-        j_idx = self.records.index(rec_j)
+        j_idx = j
         path = sum(
             float(np.linalg.norm(
                 (self.records[k + 1].T_cw @ np.linalg.inv(self.records[k].T_cw))[:3, 3]
@@ -267,41 +338,69 @@ class LoopCloser:
         return True, M, n_in
 
     # ------------------------------------------------------------------
-    def _optimize(self) -> np.ndarray:
-        """Pose graph over all stored keyframes: odometry + loop edges."""
+    def _pg_solve_device(self, poses, e_i, e_j, T_meas, weight, valid, fixed,
+                         iterations: int):
+        """Jitted pose-graph solve over capacity-padded arrays; returns
+        (corrected poses, chi before, chi after)."""
+        graph = pose_graph.PoseGraph(
+            e_i=e_i, e_j=e_j, T_meas=T_meas, weight=weight,
+            valid=valid, fixed=fixed,
+        )
+        chi0 = pose_graph.graph_chi(poses, graph)
+        opt, res = pose_graph.optimize(
+            poses, graph, cfg=lm_ops.LMConfig(iterations=iterations)
+        )
+        return opt, chi0, res.chi
+
+    @staticmethod
+    def _round_up(n: int, q: int) -> int:
+        return ((n + q - 1) // q) * q
+
+    def _optimize(self) -> Tuple[np.ndarray, float, float]:
+        """Pose graph over all stored keyframes: odometry + loop edges.
+
+        Arrays are padded to capacity buckets (keyframes to multiples of 64,
+        loop edges to multiples of 16) so the jitted solve recompiles only
+        when a bucket boundary is crossed, not on every closure.  Padding
+        poses are identity + fixed; padding edges are invalid (zero weight,
+        zero residual by masking in pose_graph._terms).
+
+        Returns (corrected (n, 4, 4) float64, chi_before, chi_after); does
+        NOT persist — the caller gates on the chi reduction first."""
         n = len(self.records)
         poses = np.stack([r.T_cw for r in self.records]).astype(np.float32)
-        e_i, e_j, T_m, w = [], [], [], []
+        Nc = self._round_up(max(n, 2), 64)
+        Ec = (Nc - 1) + self._round_up(max(len(self.loop_edges), 1), 16)
+        poses_p = np.tile(np.eye(4, dtype=np.float32), (Nc, 1, 1))
+        poses_p[:n] = poses
+        e_i = np.zeros((Ec,), np.int32)
+        e_j = np.zeros((Ec,), np.int32)
+        T_m = np.tile(np.eye(4, dtype=np.float32), (Ec, 1, 1))
+        w = np.zeros((Ec,), np.float32)
+        valid = np.zeros((Ec,), bool)
         for k in range(n - 1):
-            e_i.append(k + 1)
-            e_j.append(k)
-            T_m.append(poses[k + 1] @ np.linalg.inv(poses[k]))
-            w.append(self.cfg.odom_weight)
-        for (i, j, M) in self.loop_edges:
-            e_i.append(i)
-            e_j.append(j)
-            T_m.append(M.astype(np.float32))
-            w.append(self.cfg.loop_weight)
-        E = len(e_i)
-        fixed = np.zeros((n,), bool)
-        fixed[0] = True
-        graph = pose_graph.PoseGraph(
-            e_i=jnp.asarray(e_i, jnp.int32),
-            e_j=jnp.asarray(e_j, jnp.int32),
-            T_meas=jnp.asarray(np.stack(T_m), jnp.float32),
-            weight=jnp.asarray(w, jnp.float32),
-            valid=jnp.ones((E,), bool),
-            fixed=jnp.asarray(fixed),
+            e_i[k] = k + 1
+            e_j[k] = k
+            T_m[k] = poses[k + 1] @ np.linalg.inv(poses[k])
+            w[k] = self.cfg.odom_weight
+            valid[k] = True
+        for idx, (i, j, M) in enumerate(self.loop_edges):
+            k = (Nc - 1) + idx
+            e_i[k] = i
+            e_j[k] = j
+            T_m[k] = M.astype(np.float32)
+            w[k] = self.cfg.loop_weight
+            valid[k] = True
+        fixed = np.ones((Nc,), bool)   # padding poses are fixed
+        fixed[1:n] = False
+        opt, chi0, chi1 = self._pg_fn(
+            jnp.asarray(poses_p), jnp.asarray(e_i), jnp.asarray(e_j),
+            jnp.asarray(T_m), jnp.asarray(w), jnp.asarray(valid),
+            jnp.asarray(fixed), iterations=self.cfg.pg_iterations,
         )
-        opt, _ = pose_graph.optimize(
-            jnp.asarray(poses), graph,
-            cfg=lm_ops.LMConfig(iterations=self.cfg.pg_iterations),
-        )
-        corrected = np.asarray(opt, np.float64)
-        # Orthonormalize and persist the corrected poses as the new odometry
-        # anchor for future edges.
-        for k, rec in enumerate(self.records):
+        corrected = np.asarray(opt, np.float64)[:n]
+        # Orthonormalize (float32 retractions shed orthonormality).
+        for k in range(n):
             U, _, Vt = np.linalg.svd(corrected[k, :3, :3])
             corrected[k, :3, :3] = U @ np.diag([1, 1, np.linalg.det(U @ Vt)]) @ Vt
-            rec.T_cw = corrected[k].copy()
-        return corrected
+        return corrected, float(chi0), float(chi1)

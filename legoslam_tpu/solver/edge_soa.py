@@ -113,9 +113,13 @@ def _edge_core(gs: GraphSoA, poses: jnp.ndarray, points: jnp.ndarray):
     # contraction, and three takes per iteration were the single largest
     # cost of the window solve (device trace, PROFILE.md round 4).  The
     # one-hot has exactly one 1.0 per row, so there is no summation
-    # cancellation and the contraction reproduces the take bit-accurately.
+    # cancellation and the contraction reproduces the take bit-accurately —
+    # PROVIDED every landmark slot is finite (0 * NaN = NaN would propagate
+    # to all edges through the contraction, unlike a take).  Dead slots are
+    # sanitized here so the invariant holds regardless of the caller.
     if gs.onehot_l is not None:
-        pcomp = gs.onehot_l @ points  # (E, 3) plain GEMM
+        pts = jnp.where(jnp.isfinite(points), points, 0.0)
+        pcomp = gs.onehot_l @ pts  # (E, 3) plain GEMM
         pwx, pwy, pwz = pcomp[:, 0], pcomp[:, 1], pcomp[:, 2]
     else:
         idx = g.e_point

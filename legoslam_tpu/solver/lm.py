@@ -129,7 +129,17 @@ def lm_optimize(fns: LMFunctions, state0: Any, cfg: LMConfig) -> LMResult:
             aux_cand = None
         scale = fns.dot_scale(c["aux"], dx, c["lam"]) + jnp.asarray(1e-10, dtype)
         rho_val = (c["chi"] - temp_chi) / scale
-        accept = (rho_val > 0) & jnp.isfinite(temp_chi)
+        # `scale` is the predicted cost decrease 0.5 dx^T(lam dx + b); for an
+        # exact solve of a PSD system it is >= 0, but when the f32 linear
+        # solve of an ill-conditioned H produces a garbage dx at small lambda,
+        # it can come out NEGATIVE — and `rho_val > 0` alone would then accept
+        # a chi-INCREASING step (observed: a 46-pose graph chain jumping chi
+        # 7.2 -> 395 on one thread partitioning and converging on another).
+        # Requiring scale > 0 restores monotone descent: junk steps are
+        # rejected, lambda grows, and the better-conditioned damped system
+        # produces a real step.  (problem.cpp:520-545 has the same latent
+        # flaw in f64, where it never fires.)
+        accept = (rho_val > 0) & (scale > 0) & jnp.isfinite(temp_chi)
 
         if cfg.strategy == "strategy1":
             lam_acc = jnp.maximum(c["lam"] / 9.0, 1e-7)   # problem.cpp:569-571

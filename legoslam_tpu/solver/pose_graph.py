@@ -43,6 +43,20 @@ def residuals(graph: PoseGraph, poses: jnp.ndarray) -> jnp.ndarray:
     return se3.se3_log(se3.se3_inv(graph.T_meas) @ rel)  # (E, 6)
 
 
+def graph_chi(
+    poses: jnp.ndarray,
+    graph: PoseGraph,
+    kernel: str = robust.HUBER,
+    delta: float = 5.991,
+) -> jnp.ndarray:
+    """0.5 * robust chi2 of the whole graph — the quantity `optimize`
+    minimizes, exposed for accept/reject gating by callers."""
+    r = residuals(graph, poses)
+    e2 = graph.weight * jnp.sum(r * r, axis=-1)
+    rho0, _, _ = robust.rho(kernel, e2, delta)
+    return 0.5 * jnp.sum(jnp.where(graph.valid, rho0, 0.0))
+
+
 def _terms(graph: PoseGraph, poses: jnp.ndarray, kernel: str, delta: float):
     r = residuals(graph, poses)
     w_valid = graph.valid & ~(graph.fixed[graph.e_i] & graph.fixed[graph.e_j])

@@ -29,9 +29,12 @@ def _make_record(frame_id, img_full, T_cw, uv=None, p_world=None, max_feats=256)
         n = min(len(uv), max_feats)
         uv_p[:n] = uv[:n] * 0.5
         pw_p[:n] = p_world[:n]
+    T64 = np.asarray(T_cw, np.float64)
     return KeyframeRecord(
-        frame_id=frame_id, T_cw=np.asarray(T_cw, np.float64),
-        thumb=make_thumbnail(img), img=img, uv=uv_p, p_world=pw_p, n_feats=n,
+        frame_id=frame_id, T_cw=T64.copy(), T_cw_obs=T64.copy(),
+        thumb=make_thumbnail(img),
+        img=np.clip(img, 0.0, 255.0).astype(np.uint8),
+        uv=uv_p, p_world=pw_p, n_feats=n,
     )
 
 
