@@ -341,7 +341,9 @@ def main():
         t0 = time.perf_counter()
         while True:
             t1 = time.perf_counter()
-            fr = vo.dataset.next_frame()
+            # _next_frame keeps the driver's upload lookahead engaged (the
+            # transfer of frame k+1 overlaps frame k's step).
+            fr = vo._next_frame()
             if fr is None:
                 break
             out = vo.process(fr)

@@ -41,18 +41,19 @@ def _axis_onehot(start, size: int, taps: int, dtype):
 
     start: (B, 1) fractional window-start coordinate per keypoint.
     Matches ops/interp.py _axis_matrix (border collapse by clamping).
-    """
+
+    Built as the linear-interpolation hat max(0, 1 - |pos - k|), which for
+    clamped pos places exactly 1-frac at floor(pos) and frac at floor(pos)+1
+    (and weight 1 on the border pixel when pos collapses to it) — identical
+    weights to the floor/compare construction, at roughly half the VPU ops
+    per element and with no int conversions.  This runs once per GN
+    iteration per axis and was the kernel's largest VPU cost (PROFILE.md
+    round 4: ~5-7 us per 128-keypoint block-iteration)."""
     offs = jax.lax.broadcasted_iota(jnp.int32, (1, taps, 1), 1)
     pos = start[:, None, :] + offs.astype(dtype)  # (B, taps, 1)
     pos = jnp.clip(pos, 0.0, float(size - 1))
-    idx0 = jnp.floor(pos)
-    f = pos - idx0
-    idx0 = idx0.astype(jnp.int32)
-    idx1 = jnp.minimum(idx0 + 1, size - 1)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
-    w0 = jnp.where(iota == idx0, 1.0 - f, 0.0)
-    w1 = jnp.where(iota == idx1, f, 0.0)
-    return (w0 + w1).astype(dtype)  # (B, taps, size)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2).astype(dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(pos - iota)).astype(dtype)
 
 
 def _sample_block(img, centers_x, centers_y, taps: int, H: int, W: int):

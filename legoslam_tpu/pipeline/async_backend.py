@@ -18,12 +18,21 @@ three ingredients fall out of JAX's execution model:
   SetPose/SetPos write-back (backend_lego.cpp:198-217).
 
 The host never blocks: completion is detected by polling `jax.Array
-.is_ready()` on cheap scalars.  Keyframe events are consumed with the same
-non-blocking poll on each frame output's `kf_inserted` flag, so the device
-pipeline stays as deep as in inline mode.  Like the reference — whose
-condvar notify is lost if the backend is mid-solve — a keyframe that lands
-while a solve is pending does not queue a second solve (counted in
-`stats['skipped']`).
+.is_ready()` (measured free through the transport) and the dispatch
+schedule reads NOTHING back from the device.  This is a deliberate
+divergence from the reference's event-driven trigger (UpdateMap on each
+keyframe, backend_lego.cpp:22-28): reading a frame's `kf_inserted` flag to
+the host costs one device->host fetch, and on the tunneled accelerator a
+fresh-buffer fetch is 8-25 ms — per-frame flag reads alone capped the
+async driver at ~40 fps (PROFILE.md round 5).  Instead the backend
+dispatches on a frame CADENCE (`dispatch_every`, default 4 — keyframes
+arrive every ~5 frames, so the cadence approximates the reference's
+trigger): when no solve is in flight and `dispatch_every` frames have
+passed, the next solve is enqueued on the freshest snapshot.  A solve on a
+window that gained no keyframe re-polishes the same optimum and is merged
+harmlessly.  Like the reference — whose condvar notify is lost if the
+backend is mid-solve — keyframes landing during a solve do not queue extra
+solves.
 """
 
 from __future__ import annotations
@@ -65,10 +74,9 @@ class AsyncBackend:
       1. `poll(carry_wmap) -> wmap` — call at the top of every frame: if the
          pending solve finished, dispatch the merge and return the merged
          map (else the map unchanged).
-      2. after the frame step, `observe(output)` — registers the frame's
-         `kf_inserted` flag; consumed later without blocking.  When a
-         consumed flag is True and no solve is in flight, `want_dispatch`
-         becomes true.
+      2. after the frame step, `observe(output)` — counts the frame toward
+         the dispatch cadence.  The device flag is NOT read (a fresh-buffer
+         device->host fetch costs 8-25 ms on the tunnel — see module banner).
       3. if `want_dispatch`: `dispatch(carry_wmap)` — enqueue the solve on
          the (fresh) snapshot.
       4. `flush(carry_wmap) -> wmap` — at end of run / before checkpoint:
@@ -82,6 +90,7 @@ class AsyncBackend:
         ba_cfg: backend_mod.BAConfig,
         solve_fn: Optional[Callable] = None,
         ba_device=None,
+        dispatch_every: int = 4,
     ):
         self._solve = jax.jit(
             lambda wmap: backend_mod.solve_window(
@@ -90,9 +99,9 @@ class AsyncBackend:
         )
         self._merge = jax.jit(backend_mod.merge_ba_result)
         self.ba_device = ba_device
+        self.dispatch_every = max(1, int(dispatch_every))
         self.pending: Optional[backend_mod.BAResult] = None
-        self._events: List[Any] = []   # un-consumed kf_inserted flags
-        self._kf_seen = False          # a consumed keyframe event awaits dispatch
+        self._frames_since_dispatch = 0
         self.stats = {"dispatched": 0, "merged": 0, "skipped": 0}
         self.merged_stats: List[backend_mod.BAStats] = []
 
@@ -105,21 +114,22 @@ class AsyncBackend:
 
     # --- step 2 -----------------------------------------------------------
     def observe(self, kf_inserted) -> None:
-        self._events.append(kf_inserted)
-        # Consume every event whose scalar has materialized (non-blocking).
-        while self._events and self._events[0].is_ready():
-            flag = self._events.pop(0)
-            if bool(flag):
-                if self.pending is None:
-                    self._kf_seen = True
-                else:
-                    # Reference behavior: a notify during an active solve is
-                    # dropped; the *next* keyframe re-triggers.
-                    self.stats["skipped"] += 1
+        """Count a processed frame toward the dispatch cadence.  The
+        kf_inserted device scalar is accepted for API compatibility but
+        deliberately not fetched (see module banner)."""
+        self._frames_since_dispatch += 1
+        if self.pending is not None and self._frames_since_dispatch >= self.dispatch_every:
+            # A cadence tick elapsed while a solve was still in flight — the
+            # reference's "notify during active solve is dropped" case.
+            self.stats["skipped"] += 1
+            self._frames_since_dispatch = 0
 
     @property
     def want_dispatch(self) -> bool:
-        return self._kf_seen and self.pending is None
+        return (
+            self.pending is None
+            and self._frames_since_dispatch >= self.dispatch_every
+        )
 
     # --- step 3 -----------------------------------------------------------
     def dispatch(self, wmap) -> None:
@@ -127,7 +137,7 @@ class AsyncBackend:
         the reference likewise snapshots at solve *start*, not at notify,
         backend_lego.cpp:45-46)."""
         assert self.pending is None
-        self._kf_seen = False
+        self._frames_since_dispatch = 0
         snap = wmap
         if self.ba_device is not None:
             snap = jax.device_put(snap, self.ba_device)
@@ -136,15 +146,7 @@ class AsyncBackend:
 
     # --- step 4 -----------------------------------------------------------
     def flush(self, wmap):
-        """Drain outstanding keyframe events, then block on the in-flight
-        solve (if any) and merge it."""
-        while self._events:
-            flag = self._events.pop(0)
-            if bool(flag):  # blocks until the scalar materializes
-                if self.pending is None:
-                    self._kf_seen = True
-                else:
-                    self.stats["skipped"] += 1
+        """Block on the in-flight solve (if any) and merge it."""
         if self.pending is not None:
             jax.block_until_ready(self.pending.stats.chi)
             wmap = self._do_merge(wmap)

@@ -37,7 +37,7 @@ from legoslam_tpu.geometry import se3
 from legoslam_tpu.ops import klt as klt_ops
 from legoslam_tpu.ops import pyramid as pyr_ops
 from legoslam_tpu.solver import lm as lm_ops
-from legoslam_tpu.solver import pose_graph, reprojection, robust
+from legoslam_tpu.solver import reprojection, robust
 from legoslam_tpu.utils.logging import get_logger
 
 log = get_logger("legoslam.loop")
@@ -76,6 +76,8 @@ class KeyframeRecord:
     frame_id: int
     T_cw: np.ndarray        # (4, 4) current best pose (pose-graph corrected)
     T_cw_obs: np.ndarray    # (4, 4) insertion-time pose (immutable epoch)
+    rel_prev: np.ndarray    # (4, 4) odometry measurement T_this T_prev^-1 at
+                            # insertion (immutable; identity for the first)
     thumb: np.ndarray       # THUMB, zero-mean unit-norm
     img: np.ndarray         # (H/2, W/2) half-resolution left image, uint8
     uv: np.ndarray          # (M, 2) feature positions in the half-res image
@@ -135,18 +137,25 @@ class LoopConfig:
     # at or above chi0 and must be rejected rather than applied (a bad
     # correction is strictly worse than no correction).
     pg_accept_chi_ratio: float = 0.5
-    # After an accepted closure, skip detection for this many keyframes: the
-    # pose graph just absorbed the loop, and immediately re-closing against
-    # neighbors of the same revisit re-measures the (now mostly corrected)
-    # drift with fresh verification noise and jitters the trajectory.
-    cooldown_keyframes: int = 5
+    # After an accepted closure, skip detection for this many keyframes (let
+    # the tracker settle on the re-anchored map).  Kept SHORT deliberately:
+    # re-closing against further keyframes of the same revisit adds loop
+    # edges that pin the whole revisited segment, not just its first frame —
+    # a single loop edge leaves the solver free to bow the chain between the
+    # anchor and the (noisy) measurement, while two or three edges a few
+    # keyframes apart rigidify it (measured on the corridor lap: 1 closure
+    # -> kf ATE 0.41, 2 closures -> 0.25 vs 0.31 open).  The chi acceptance
+    # gate and the odometry-consistency gate make re-closure safe.
+    cooldown_keyframes: int = 2
     chi2_threshold: float = 5.991
     odom_weight: float = 1.0
     loop_weight: float = 20.0
     klt: klt_ops.KLTConfig = field(default_factory=lambda: klt_ops.KLTConfig(levels=3))
     fb_threshold: float = 0.8    # forward-backward gate (half-res px)
     max_feats: int = 256         # fixed verify lane count
-    pg_iterations: int = 15
+    # f64 Gauss-Newton iterations (pose_graph_host): converges quadratically
+    # from the odometry init — 3-4 reach machine-level chi on the test lap.
+    pg_iterations: int = 4
 
 
 class LoopCloser:
@@ -164,11 +173,6 @@ class LoopCloser:
         self.stats = {"candidates": 0, "verified": 0, "closures": 0, "pg_rejected": 0}
         self._cooldown = 0
         self._verify_fn = jax.jit(self._verify_device)
-        # Pose-graph solve, jitted once per capacity bucket (shapes recompile
-        # only when the keyframe count crosses a rounding boundary).
-        self._pg_fn = jax.jit(
-            self._pg_solve_device, static_argnames=("iterations",)
-        )
 
     # ------------------------------------------------------------------
     def add_keyframe(
@@ -187,8 +191,16 @@ class LoopCloser:
         uv_p[:n] = uv[:n] * 0.5
         pw_p[:n] = p_world[:n]
         T64 = np.asarray(T_cw, np.float64)
+        # Immutable odometry measurement vs the previous keyframe: both poses
+        # live in the same (current) world epoch, so the relative transform is
+        # epoch-free even across past corrections.
+        rel_prev = (
+            T64 @ np.linalg.inv(self.records[-1].T_cw)
+            if self.records else np.eye(4)
+        )
         rec = KeyframeRecord(
             frame_id=frame_id, T_cw=T64.copy(), T_cw_obs=T64.copy(),
+            rel_prev=rel_prev,
             thumb=make_thumbnail(img),
             img=np.clip(img, 0.0, 255.0).astype(np.uint8),
             uv=uv_p, p_world=pw_p, n_feats=n,
@@ -219,16 +231,18 @@ class LoopCloser:
             pre=np.stack([r.T_cw for r in self.records]),
         ))
         T_old_last = self.records[-1].T_cw.copy()
-        corrected, chi0, chi1 = self._optimize()
-        # Acceptance gate (LoopConfig.pg_accept_chi_ratio): a correction is
-        # only applied if the solve actually absorbed the loop residual.
-        if not (np.isfinite(chi1) and chi1 <= self.cfg.pg_accept_chi_ratio * chi0 + 1e-2):
-            self.loop_edges.pop()
+        corrected, chi0, chi1, new_edge_rejected = self._optimize()
+        # Acceptance gates: the newest edge must have survived the solve's
+        # outlier pass, and the solve must actually have absorbed the loop
+        # residual (LoopConfig.pg_accept_chi_ratio).
+        if new_edge_rejected or not (
+            np.isfinite(chi1) and chi1 <= self.cfg.pg_accept_chi_ratio * chi0 + 1e-2
+        ):
             self.stats["pg_rejected"] += 1
             log.warning(
-                "loop: pose-graph solve rejected (chi %.4f -> %.4f, gate %.2f); "
-                "closure kf%d -> kf%d dropped", chi0, chi1,
-                self.cfg.pg_accept_chi_ratio, i, j,
+                "loop: pose-graph solve rejected closure kf%d -> kf%d "
+                "(chi %.4f -> %.4f, new_edge_rejected=%s)",
+                i, j, chi0, chi1, new_edge_rejected,
             )
             return None
         log.info("loop: closing kf%d -> kf%d (%d inliers, chi %.3f -> %.3f)",
@@ -300,12 +314,12 @@ class LoopCloser:
             jnp.asarray(rec_j.img, jnp.float32), cfg.klt.levels))
         pyr_i = tuple(pyr_ops.build_pyramid(
             jnp.asarray(rec_i.img, jnp.float32), cfg.klt.levels))
-        valid = jnp.arange(cfg.max_feats) < rec_j.n_feats
+        valid_j = jnp.arange(cfg.max_feats) < rec_j.n_feats
         # The solve runs in the candidate's *observation* epoch (T_cw_obs,
         # the frame rec_j.p_world lives in) — NOT the corrected T_cw, whose
         # epoch moves with every accepted closure.
         T_loop, n_in = self._verify_fn(
-            pyr_j, pyr_i, jnp.asarray(rec_j.uv), valid,
+            pyr_j, pyr_i, jnp.asarray(rec_j.uv), valid_j,
             jnp.asarray(rec_j.p_world), jnp.asarray(rec_j.T_cw_obs, jnp.float32),
         )
         n_in = int(n_in)
@@ -314,6 +328,27 @@ class LoopCloser:
         # Loop measurement M_ij = T_i T_j^-1 with T_i measured as T_loop (the
         # new keyframe's pose expressed in the candidate's observation epoch).
         M = np.asarray(T_loop, np.float64) @ np.linalg.inv(rec_j.T_cw_obs)
+        # Symmetric verification: KLT template-anchor bias is systematic and
+        # roughly antisymmetric in the track direction (measured ~0.1-0.2 m of
+        # lateral error per direction on the corridor lap), so also measure
+        # the REVERSE loop (track i -> j against the new keyframe's stored
+        # landmarks) and average the two on SE(3).  Falls back to the forward
+        # measurement when the new keyframe has too few stored features.
+        valid_i = jnp.arange(cfg.max_feats) < rec_i.n_feats
+        T_rev, n_rev = self._verify_fn(
+            pyr_i, pyr_j, jnp.asarray(rec_i.uv), valid_i,
+            jnp.asarray(rec_i.p_world), jnp.asarray(rec_i.T_cw_obs, jnp.float32),
+        )
+        n_rev = int(n_rev)
+        if n_rev >= cfg.min_inliers:
+            M_rev = np.linalg.inv(
+                np.asarray(T_rev, np.float64) @ np.linalg.inv(rec_i.T_cw_obs)
+            )
+            D = np.asarray(se3.se3_log(jnp.asarray(
+                np.linalg.inv(M) @ M_rev, jnp.float32)), np.float64)
+            M = M @ np.asarray(se3.se3_exp(jnp.asarray(0.5 * D, jnp.float32)),
+                               np.float64)
+            n_in = min(n_in + n_rev, 2 * n_in)
         # Odometry-consistency gate (LoopConfig.consistency_*): the implied
         # correction = how far the measurement moves keyframe i from where
         # odometry put it; bound it by the drift the path could plausibly
@@ -338,69 +373,43 @@ class LoopCloser:
         return True, M, n_in
 
     # ------------------------------------------------------------------
-    def _pg_solve_device(self, poses, e_i, e_j, T_meas, weight, valid, fixed,
-                         iterations: int):
-        """Jitted pose-graph solve over capacity-padded arrays; returns
-        (corrected poses, chi before, chi after)."""
-        graph = pose_graph.PoseGraph(
-            e_i=e_i, e_j=e_j, T_meas=T_meas, weight=weight,
-            valid=valid, fixed=fixed,
-        )
-        chi0 = pose_graph.graph_chi(poses, graph)
-        opt, res = pose_graph.optimize(
-            poses, graph, cfg=lm_ops.LMConfig(iterations=iterations)
-        )
-        return opt, chi0, res.chi
-
-    @staticmethod
-    def _round_up(n: int, q: int) -> int:
-        return ((n + q - 1) // q) * q
-
-    def _optimize(self) -> Tuple[np.ndarray, float, float]:
+    def _optimize(self) -> Tuple[np.ndarray, float, float, bool]:
         """Pose graph over all stored keyframes: odometry + loop edges.
 
-        Arrays are padded to capacity buckets (keyframes to multiples of 64,
-        loop edges to multiples of 16) so the jitted solve recompiles only
-        when a bucket boundary is crossed, not on every closure.  Padding
-        poses are identity + fixed; padding edges are invalid (zero weight,
-        zero residual by masking in pose_graph._terms).
+        The measurements are IMMUTABLE: odometry edges use each record's
+        insertion-time `rel_prev`, never the corrected chain (rebuilding
+        edges from corrected poses would bake an earlier solve's error into
+        zero-residual "measurements" that no later closure could undo).  The
+        solve is the host f64 Gauss-Newton of solver/pose_graph_host.py,
+        initialized at the raw odometry integration — deterministic and
+        basin-free (see that module's banner for the f32 pathology it
+        replaces).  Loop edges whose post-solve residual exceeds the outlier
+        threshold are dropped permanently; if the NEWEST edge is dropped,
+        the closure is rejected.
 
-        Returns (corrected (n, 4, 4) float64, chi_before, chi_after); does
-        NOT persist — the caller gates on the chi reduction first."""
+        Returns (corrected (n, 4, 4) f64, chi_before, chi_after,
+        new_edge_rejected); does NOT persist — the caller gates first."""
+        from legoslam_tpu.solver import pose_graph_host
+
         n = len(self.records)
-        poses = np.stack([r.T_cw for r in self.records]).astype(np.float32)
-        Nc = self._round_up(max(n, 2), 64)
-        Ec = (Nc - 1) + self._round_up(max(len(self.loop_edges), 1), 16)
-        poses_p = np.tile(np.eye(4, dtype=np.float32), (Nc, 1, 1))
-        poses_p[:n] = poses
-        e_i = np.zeros((Ec,), np.int32)
-        e_j = np.zeros((Ec,), np.int32)
-        T_m = np.tile(np.eye(4, dtype=np.float32), (Ec, 1, 1))
-        w = np.zeros((Ec,), np.float32)
-        valid = np.zeros((Ec,), bool)
-        for k in range(n - 1):
-            e_i[k] = k + 1
-            e_j[k] = k
-            T_m[k] = poses[k + 1] @ np.linalg.inv(poses[k])
-            w[k] = self.cfg.odom_weight
-            valid[k] = True
-        for idx, (i, j, M) in enumerate(self.loop_edges):
-            k = (Nc - 1) + idx
-            e_i[k] = i
-            e_j[k] = j
-            T_m[k] = M.astype(np.float32)
-            w[k] = self.cfg.loop_weight
-            valid[k] = True
-        fixed = np.ones((Nc,), bool)   # padding poses are fixed
-        fixed[1:n] = False
-        opt, chi0, chi1 = self._pg_fn(
-            jnp.asarray(poses_p), jnp.asarray(e_i), jnp.asarray(e_j),
-            jnp.asarray(T_m), jnp.asarray(w), jnp.asarray(valid),
-            jnp.asarray(fixed), iterations=self.cfg.pg_iterations,
+        rel = [self.records[k].rel_prev for k in range(1, n)]
+        poses, chi0, chi1, dropped = pose_graph_host.solve_chain_graph(
+            rel, self.loop_edges,
+            anchor=self.records[0].T_cw,
+            odom_weight=self.cfg.odom_weight,
+            loop_weight=self.cfg.loop_weight,
+            iterations=self.cfg.pg_iterations,
         )
-        corrected = np.asarray(opt, np.float64)[:n]
-        # Orthonormalize (float32 retractions shed orthonormality).
-        for k in range(n):
-            U, _, Vt = np.linalg.svd(corrected[k, :3, :3])
-            corrected[k, :3, :3] = U @ np.diag([1, 1, np.linalg.det(U @ Vt)]) @ Vt
-        return corrected, float(chi0), float(chi1)
+        new_idx = len(self.loop_edges) - 1
+        new_edge_rejected = new_idx in dropped
+        if dropped:
+            log.warning(
+                "loop: %d loop edge(s) dropped as post-solve outliers: %s",
+                len(dropped), [
+                    (self.loop_edges[d][0], self.loop_edges[d][1]) for d in dropped
+                ],
+            )
+            self.loop_edges = [
+                e for idx, e in enumerate(self.loop_edges) if idx not in dropped
+            ]
+        return poses, float(chi0), float(chi1), new_edge_rejected

@@ -322,6 +322,8 @@ class VisualOdometry:
         self.timers = CumulativeTimer()
         self._step_fn = None
         self.log_every = 0
+        self._prefetched = None
+        self._pending_device_imgs = None
 
     # --- reference API (visual_odometry.h:27-49) ---
     def init(self) -> bool:
@@ -369,6 +371,7 @@ class VisualOdometry:
             self.async_backend = AsyncBackend(
                 cfg, rig, ba_cfg, solve_fn=self.ba_solve_fn,
                 ba_device=pick_ba_device(str(self.config["ba_async_device"])),
+                dispatch_every=int(self.config["ba_async_dispatch_every"]),
             )
         if bool(self.config["use_loop_closure"]):
             from legoslam_tpu.pipeline.loop_closure import LoopCloser, LoopConfig
@@ -396,11 +399,13 @@ class VisualOdometry:
         self.carry = None
         self.outputs = []
         self.frame_ids = []
+        self._prefetched = None
+        self._pending_device_imgs = None
         return True
 
     def step(self) -> bool:
         """Process one frame (visual_odometry.cpp:59-70)."""
-        frame = self.dataset.next_frame()
+        frame = self._next_frame()
         if frame is None:
             return False
         t = Timer()
@@ -408,9 +413,42 @@ class VisualOdometry:
         self.timers.add("vo_step_dispatch", t.toc())
         return True
 
-    def process(self, frame: StereoFrame) -> FrameOutput:
-        img_l = jnp.asarray(frame.left, jnp.float32)
-        img_r = jnp.asarray(frame.right, jnp.float32)
+    def _upload(self, frame: StereoFrame):
+        """Enqueue the stereo pair's host->device transfer (async)."""
+        return (
+            jax.device_put(np.asarray(frame.left, np.float32)),
+            jax.device_put(np.asarray(frame.right, np.float32)),
+        )
+
+    def _next_frame(self) -> Optional[StereoFrame]:
+        """Dataset pull with a one-frame device-upload lookahead: the next
+        frame's host->device transfer is enqueued BEFORE the current frame is
+        processed, so the (tunnel-expensive) transfer overlaps the previous
+        step's compute instead of serializing in front of it.  This is what
+        lets the production driver approach the raw stepwise-bench fps
+        (VERDICT round 4: driver 59.5 vs bench 335 fps; the gap was almost
+        entirely per-frame synchronous uploads)."""
+        if self._prefetched is not None:
+            frame, dev = self._prefetched
+        else:
+            frame = self.dataset.next_frame()
+            if frame is None:
+                return None
+            dev = self._upload(frame)
+        nxt = self.dataset.next_frame()
+        self._prefetched = (nxt, self._upload(nxt)) if nxt is not None else None
+        self._pending_device_imgs = dev
+        return frame
+
+    def process(self, frame: StereoFrame, device_imgs=None) -> FrameOutput:
+        if device_imgs is None:
+            device_imgs = self._pending_device_imgs
+            self._pending_device_imgs = None
+        if device_imgs is not None:
+            img_l, img_r = device_imgs
+        else:
+            img_l = jnp.asarray(frame.left, jnp.float32)
+            img_r = jnp.asarray(frame.right, jnp.float32)
         if self.carry is None:
             self.carry = initial_carry(self.frontend_cfg, frame.left.shape)
         ab = self.async_backend

@@ -26,14 +26,31 @@ from legoslam_tpu.solver import robust
 
 
 class PoseGraph(NamedTuple):
-    """Fixed-shape constraint set over N poses."""
+    """Fixed-shape constraint set over N poses.
+
+    `weight` scales the translation components of the residual, `rot_weight`
+    (defaulting to `weight` via `make`) the rotation components.  Relative
+    ROTATIONS from odometry are usually far more reliable than relative
+    translations (a distributed yaw correction moves downstream poses by
+    lever-arm meters per radian), so loop distribution should bend the chain
+    through translations first — weight rotations higher to express that."""
 
     e_i: jnp.ndarray      # (E,) int32 first vertex
     e_j: jnp.ndarray      # (E,) int32 second vertex
     T_meas: jnp.ndarray   # (E, 4, 4) measured T_i T_j^-1
-    weight: jnp.ndarray   # (E,) scalar information (isotropic)
+    weight: jnp.ndarray   # (E,) translation information
     valid: jnp.ndarray    # (E,)
     fixed: jnp.ndarray    # (N,) gauge-fixing mask
+    rot_weight: jnp.ndarray = None  # (E,) rotation information; None = weight
+
+    def comp_weight(self) -> jnp.ndarray:
+        """(E, 6) per-residual-component information, [rho, phi] order."""
+        wt = self.weight
+        wr = self.rot_weight if self.rot_weight is not None else self.weight
+        return jnp.concatenate(
+            [jnp.broadcast_to(wt[:, None], wt.shape + (3,)),
+             jnp.broadcast_to(wr[:, None], wr.shape + (3,))], axis=-1
+        )
 
 
 def residuals(graph: PoseGraph, poses: jnp.ndarray) -> jnp.ndarray:
@@ -52,18 +69,19 @@ def graph_chi(
     """0.5 * robust chi2 of the whole graph — the quantity `optimize`
     minimizes, exposed for accept/reject gating by callers."""
     r = residuals(graph, poses)
-    e2 = graph.weight * jnp.sum(r * r, axis=-1)
+    e2 = jnp.sum(graph.comp_weight() * r * r, axis=-1)
     rho0, _, _ = robust.rho(kernel, e2, delta)
     return 0.5 * jnp.sum(jnp.where(graph.valid, rho0, 0.0))
 
 
 def _terms(graph: PoseGraph, poses: jnp.ndarray, kernel: str, delta: float):
     r = residuals(graph, poses)
-    w_valid = graph.valid & ~(graph.fixed[graph.e_i] & graph.fixed[graph.e_j])
     r = jnp.where(graph.valid[:, None], r, 0.0)
-    e2 = graph.weight * jnp.sum(r * r, axis=-1)
+    cw = graph.comp_weight()                                       # (E, 6)
+    e2 = jnp.sum(cw * r * r, axis=-1)
     _, rho1, _ = robust.rho(kernel, e2, delta)
-    w = jnp.where(graph.valid, graph.weight * rho1, 0.0)
+    # Per-component effective information rho1 * diag(cw).
+    wv = jnp.where(graph.valid[:, None], rho1[:, None] * cw, 0.0)  # (E, 6)
     # Small-residual GN Jacobians: left-perturbation on T_i maps through the
     # measurement frame; right-perturbation on T_j enters negated.
     Ji = se3.adjoint(se3.se3_inv(graph.T_meas))                    # (E, 6, 6)
@@ -71,21 +89,21 @@ def _terms(graph: PoseGraph, poses: jnp.ndarray, kernel: str, delta: float):
     # Fixed vertices contribute no Jacobian (problem.cpp:297).
     Ji = jnp.where((graph.fixed[graph.e_i])[:, None, None], 0.0, Ji)
     Jj = jnp.where((graph.fixed[graph.e_j])[:, None, None], 0.0, Jj)
-    return r, Ji, Jj, w
+    return r, Ji, Jj, wv
 
 
 def _build(graph: PoseGraph, poses: jnp.ndarray, kernel: str, delta: float):
     N = poses.shape[0]
     E = graph.e_i.shape[0]
     dtype = poses.dtype
-    r, Ji, Jj, w = _terms(graph, poses, kernel, delta)
+    r, Ji, Jj, wv = _terms(graph, poses, kernel, delta)
 
     onehot_i = (graph.e_i[:, None] == jnp.arange(N)[None, :]).astype(dtype)  # (E, N)
     onehot_j = (graph.e_j[:, None] == jnp.arange(N)[None, :]).astype(dtype)
 
     def blocks(Ja, Jb, oa, ob):
-        # H[a, b] += w * Ja^T Jb routed by the one-hot vertex assignments.
-        JtJ = w[:, None, None] * jnp.einsum("eca,ecb->eab", Ja, Jb)  # (E, 6, 6)
+        # H[a, b] += Ja^T diag(wv) Jb routed by the one-hot vertex assignments.
+        JtJ = jnp.einsum("eca,ec,ecb->eab", Ja, wv, Jb)              # (E, 6, 6)
         Va = JtJ.reshape(E, 36)[None, :, :] * oa.T[:, :, None]       # (N, E, 36)
         return jnp.einsum("en,aev->anv", ob, Va).reshape(N, N, 6, 6).transpose(1, 0, 2, 3)
 
@@ -95,8 +113,8 @@ def _build(graph: PoseGraph, poses: jnp.ndarray, kernel: str, delta: float):
         + blocks(Jj, Ji, onehot_j, onehot_i)
         + blocks(Jj, Jj, onehot_j, onehot_j)
     )
-    bi = -(w[:, None] * jnp.einsum("eca,ec->ea", Ji, r))
-    bj = -(w[:, None] * jnp.einsum("eca,ec->ea", Jj, r))
+    bi = -jnp.einsum("eca,ec->ea", Ji, wv * r)
+    bj = -jnp.einsum("eca,ec->ea", Jj, wv * r)
     b = onehot_i.T @ bi + onehot_j.T @ bj                            # (N, 6)
     H = H.transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
     return H, b.reshape(-1)
@@ -118,7 +136,7 @@ def optimize(
 
     def chi_fn(P):
         r = residuals(graph, P)
-        e2 = graph.weight * jnp.sum(r * r, axis=-1)
+        e2 = jnp.sum(graph.comp_weight() * r * r, axis=-1)
         rho0, _, _ = robust.rho(kernel, e2, delta)
         return 0.5 * jnp.sum(jnp.where(graph.valid, rho0, 0.0))
 

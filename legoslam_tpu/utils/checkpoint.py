@@ -105,11 +105,16 @@ def save_vo_checkpoint(path: str, vo) -> None:
     trace_len = 0
     if outputs and outputs[0].ba is not None:
         trace_len = int(np.asarray(outputs[0].ba.trace).shape[0])
+    # The driver's upload lookahead may have pulled one frame beyond the last
+    # PROCESSED one; the resume point is the first unprocessed frame.
+    next_index = int(getattr(vo.dataset, "current_index", 0))
+    if getattr(vo, "_prefetched", None) is not None:
+        next_index -= 1
     user = {
         "frame_ids": [int(i) for i in vo.frame_ids],
         "n_outputs": len(outputs),
         "image_shape": list(vo.carry.pyr_last[0].shape),
-        "next_index": int(getattr(vo.dataset, "current_index", 0)),
+        "next_index": next_index,
         "has_ba_stats": bool(outputs and outputs[0].ba is not None),
         "ba_trace_len": trace_len,
     }
@@ -167,3 +172,6 @@ def load_vo_checkpoint(path: str, vo) -> None:
             f"dataset {type(vo.dataset).__name__} cannot seek to frame "
             f"{next_index}; resume requires a seek() or current_index"
         )
+    # Any in-hand prefetched frame belongs to the pre-restore stream.
+    vo._prefetched = None
+    vo._pending_device_imgs = None

@@ -66,6 +66,9 @@ DEFAULTS: Dict[str, Any] = {
     # Device for the async solve: "auto" (second local device when present),
     # "none" (same device), or a local device index.
     "ba_async_device": "auto",
+    # Async dispatch cadence in frames (pipeline/async_backend.py banner:
+    # host-blind scheduling — keyframe flags are never fetched to the host).
+    "ba_async_dispatch_every": 4,
     # --- solver (problem.cpp:470-581) ---
     "lm_strategy": "default",      # "default" (Nielsen) | "strategy1"
     "lm_engine": "soa",            # "soa" (component-major) | "blocks"

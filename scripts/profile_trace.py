@@ -155,16 +155,114 @@ def classify(tf_op):
     return max(cands)[1] if cands else "other"
 
 
+def print_table(events, span_us, n, kf_frames):
+    by_stage = collections.Counter()
+    by_op = collections.Counter()
+    op_count = collections.Counter()
+    total = 0.0
+    for name, tf_op, dur, ts in events:
+        st = classify(tf_op)
+        by_stage[st] += dur
+        by_op[(st, name.split(".")[0])] += dur
+        op_count[st] += 1
+        total += dur
+    print(f"\n=== device time by stage ({n} frames, {kf_frames} keyframes) ===")
+    print(f"{'stage':<20}{'total ms':>10}{'ms/frame':>10}{'ms/kf':>9}{'ops':>8}")
+    for st, dur in by_stage.most_common():
+        print(f"{st:<20}{dur/1e3:>10.2f}{dur/1e3/n:>10.3f}"
+              f"{dur/1e3/max(kf_frames,1):>9.3f}{op_count[st]:>8}")
+    print(f"{'TOTAL':<20}{total/1e3:>10.2f}{total/1e3/n:>10.3f}")
+    print(f"trace span: {span_us/1e3:.2f} ms -> device busy {100*total/max(span_us,1):.1f}%")
+    print(f"device ms/frame (busy): {total/1e3/n:.3f}")
+    print("\n=== top ops ===")
+    for (st, op), dur in by_op.most_common(25):
+        print(f"  {dur/1e3:>8.2f} ms  {st:<18} {op}")
+    return total
+
+
+def trace_scan(jax, jnp, args, device_frames, matched=False):
+    """Trace ONE process_chunk program over the bench frames (the scan-fused
+    execution mode that usually sets the headline fps)."""
+    from legoslam_tpu.pipeline import backend as backend_mod
+    from legoslam_tpu.pipeline import frontend as frontend_mod
+    from legoslam_tpu.pipeline import visual_odometry as vo_mod
+    from legoslam_tpu.pipeline.dataset import SyntheticPlanesDataset
+    from legoslam_tpu.pipeline.state import Capacities
+    from legoslam_tpu.utils.config import Config
+
+    config = Config({
+        "stereo_depth_inferior_limit": 2.0,
+        "stereo_depth_superior_limit": 60.0,
+    })
+    cfg = frontend_mod.FrontendConfig.from_config(config)
+    ba_cfg = backend_mod.BAConfig(
+        assembly_precision=str(config["ba_assembly_precision"])
+    )
+    inline_ba = True
+    if matched:
+        cfg = cfg._replace(
+            caps=Capacities(max_features=192),
+            gftt=cfg.gftt._replace(max_corners=150),
+        )
+        inline_ba = False
+    from legoslam_tpu.pipeline.dataset import SyntheticPlanesDataset as _DS
+    rig = _DS(n_frames=2, shape=(188, 620), focal=360.0, baseline=0.54).rig
+
+    jitted = jax.jit(
+        lambda c, l, r, fid: vo_mod.process_chunk(
+            cfg, rig, c, l, r, fid, ba_cfg=ba_cfg, inline_ba=inline_ba
+        ),
+        donate_argnums=(0,),
+    )
+
+    def fresh_carry():
+        c = vo_mod.initial_carry(cfg, (188, 620))
+        step = jax.jit(
+            lambda c, l, r, fid: vo_mod.process_frame(
+                cfg, rig, c, l, r, fid, ba_cfg=ba_cfg, inline_ba=inline_ba
+            ),
+            donate_argnums=(0,),
+        )
+        for i in range(4):
+            l, r = device_frames[i]
+            c, _ = step(c, l, r, jnp.asarray(i, jnp.int32))
+        jax.block_until_ready(c)
+        return c
+
+    il = jnp.stack([f[0] for f in device_frames[4:]])
+    ir = jnp.stack([f[1] for f in device_frames[4:]])
+    fids = jnp.arange(4, len(device_frames), dtype=jnp.int32)
+    n = int(il.shape[0])
+
+    c, outs = jitted(fresh_carry(), il, ir, fids)   # compile
+    jax.block_until_ready(outs.status)
+    kf = int(np.sum(np.asarray(outs.kf_inserted)))
+    c2 = fresh_carry()
+    os.makedirs(args.trace_dir, exist_ok=True)
+    with jax.profiler.trace(args.trace_dir):
+        c2, outs = jitted(c2, il, ir, fids)
+        jax.block_until_ready(outs.status)
+    events, span_us = parse_trace(args.trace_dir)
+    print_table(events, span_us, n, kf)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=36)
     ap.add_argument("--trace-dir", default="/tmp/legoslam_trace")
     ap.add_argument("--matched", action="store_true",
                     help="trace the matched-workload bench config instead")
+    ap.add_argument("--scan", action="store_true",
+                    help="trace the scan-fused chunk program (process_chunk) "
+                         "instead of the per-frame stepwise program")
     args = ap.parse_args()
 
     jax, jnp, jitted, carry, device_frames = build_step(matched=args.matched)
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    if args.scan:
+        trace_scan(jax, jnp, args, device_frames, matched=args.matched)
+        return
 
     # Warmup/compile.
     for i in range(4):

@@ -32,6 +32,7 @@ def _make_record(frame_id, img_full, T_cw, uv=None, p_world=None, max_feats=256)
     T64 = np.asarray(T_cw, np.float64)
     return KeyframeRecord(
         frame_id=frame_id, T_cw=T64.copy(), T_cw_obs=T64.copy(),
+        rel_prev=np.eye(4),
         thumb=make_thumbnail(img),
         img=np.clip(img, 0.0, 255.0).astype(np.uint8),
         uv=uv_p, p_world=pw_p, n_feats=n,
@@ -111,18 +112,19 @@ def test_verify_rejects_unrelated_view():
     assert not ok, f"unrelated view verified with {n_in} inliers"
 
 
-def loop_trajectory(side=32, turn=24, speed=0.3, tail=28):
+def loop_trajectory(side=32, turn=24, speed=0.3, tail=28, laps=1):
     """A rounded-square lap (4 straights + 4 raised-cosine 90-degree turns)
     whose tail re-drives the first straight: the discrete lap closes exactly,
     so tail frames revisit early poses with matched heading.  The smooth
     yaw-rate profile keeps angular acceleration physical (~1 deg/frame^2) —
     a kinked profile breaks the constant-velocity motion prior the tracker
-    seeds from, which no real vehicle trajectory does."""
+    seeds from, which no real vehicle trajectory does.  `laps` > 1 re-drives
+    the whole square, exercising repeated closures."""
     r = np.arange(turn)
     w = 0.5 * (1 - np.cos(2 * np.pi * (r + 0.5) / turn))
     w = w * (np.pi / 2 / w.sum())
     dyaws = []
-    for _ in range(4):
+    for _ in range(4 * laps):
         dyaws.append(np.zeros(side))
         dyaws.append(w)
     dyaws.append(np.zeros(tail))
@@ -184,5 +186,51 @@ def test_loop_closure_end_to_end():
     closed_full, closed_kf, closed_stats = res[0.5]
     assert open_stats["closures"] == 0
     assert closed_stats["closures"] >= 1, closed_stats
+    assert closed_kf < open_kf, (closed_kf, open_kf)
+    assert closed_full < open_full, (closed_full, open_full)
+
+
+@pytest.mark.slow
+def test_loop_closure_two_laps():
+    """Two full laps: repeated revisits must produce MULTIPLE accepted
+    closures (exercising the cooldown, re-verification against corrected
+    records, and the immutable-measurement pose graph across corrections)
+    and still beat the open-loop trajectory.  Guards the loop-closure
+    machinery's long-horizon behavior (CMakeLists.txt:74-77 north star)."""
+    from legoslam_tpu.pipeline.visual_odometry import VisualOdometry
+    from legoslam_tpu.utils import evaluation
+    from legoslam_tpu.utils.config import Config
+
+    traj = loop_trajectory(laps=2)
+    base = {
+        "max_features": 320,
+        "keyframe_window_capacity": 8,
+        "max_active_landmarks": 1536,
+        "max_landmarks": 16384,
+        "num_active_keyframes": 7,
+        "stereo_depth_inferior_limit": 2.0,
+        "stereo_depth_superior_limit": 50.0,
+        "detect_mask_half": 6,
+        "gftt_min_distance": 6,
+        "use_loop_closure": True,
+    }
+    res = {}
+    for zncc in (1.1, 0.5):
+        ds = SyntheticPlanesDataset(
+            shape=SHAPE, focal=FOCAL, baseline=0.54,
+            half_width=20.0, length=30.0, z_min=-25.0, trajectory=traj,
+        )
+        vo = VisualOdometry(config=Config({**base, "loop_zncc_min": zncc}), dataset=ds)
+        assert vo.init()
+        vo.run()
+        est = vo.trajectory_T_wc()
+        full_ate = evaluation.ate_rmse(est[:, :3, 3], traj[: len(est), :3, 3])
+        ids, kf_T_cw = vo.keyframe_trajectory()
+        kf_wc = np.linalg.inv(kf_T_cw)
+        kf_ate = evaluation.ate_rmse(kf_wc[:, :3, 3], traj[ids][:, :3, 3])
+        res[zncc] = (full_ate, kf_ate, dict(vo.loop_closer.stats))
+    open_full, open_kf, _ = res[1.1]
+    closed_full, closed_kf, closed_stats = res[0.5]
+    assert closed_stats["closures"] >= 2, closed_stats
     assert closed_kf < open_kf, (closed_kf, open_kf)
     assert closed_full < open_full, (closed_full, open_full)
