@@ -386,6 +386,28 @@ class VisualOdometry:
                 ),
             )
             self._apply_correction = jax.jit(_apply_world_correction, donate_argnums=(0,))
+
+            # Keyframe snapshot for the loop closer, packed into ONE device
+            # buffer: a fresh-buffer device->host fetch costs 8-25 ms on the
+            # tunneled accelerator regardless of size (PROFILE.md round 5),
+            # so the hook reads one async-copied vector per keyframe instead
+            # of five arrays.
+            M = cfg.caps.max_features
+
+            def pack_snapshot(carry, T_cw):
+                feats = carry.feats
+                sel = feats.valid & (feats.lm >= 0)
+                pw = carry.wmap.lm_pos[jnp.maximum(feats.lm, 0)]
+                return jnp.concatenate([
+                    T_cw.reshape(-1),
+                    feats.uv.reshape(-1),
+                    feats.lm.astype(jnp.float32),
+                    sel.astype(jnp.float32),
+                    pw.reshape(-1),
+                ])
+
+            self._pack_snapshot = jax.jit(pack_snapshot)
+            self._snapshot_M = M
         # Live viewer stream (viewer.cpp:38-97's continuous redraw, decimated
         # to every N frames): opt-in because feeding it forces per-frame
         # device->host syncs of the feature table.
@@ -401,12 +423,15 @@ class VisualOdometry:
         self.frame_ids = []
         self._prefetched = None
         self._pending_device_imgs = None
+        self._hook_prev = None        # (frame_id, out) awaiting its flag read
+        self._pending_snapshot = None  # (frame_id, img, packed device vec)
         return True
 
     def step(self) -> bool:
         """Process one frame (visual_odometry.cpp:59-70)."""
         frame = self._next_frame()
         if frame is None:
+            self._drain_hooks()
             return False
         t = Timer()
         self.process(frame)
@@ -530,25 +555,60 @@ class VisualOdometry:
                 )
 
     def _loop_hook(self, frame: StereoFrame, out: FrameOutput) -> None:
-        """Feed the loop closer on keyframe events; apply corrections.
+        """Feed the loop closer without per-frame device->host fetches.
 
-        Reads `kf_inserted` synchronously — loop closure is an opt-in host
-        feature and place recognition needs the keyframe's host-side image
-        anyway.  (This is the reference's north-star TODO, CMakeLists:74-77.)
+        A fresh-buffer fetch costs 8-25 ms through the tunnel (PROFILE.md
+        round 5), so the hook pipeline is one frame DEEP: the current frame's
+        status/kf flags are enqueued as async host copies now and consumed on
+        the next call, by which time the transfer has landed (~0.5 ms read).
+        A keyframe event likewise snapshots the NEXT frame's state — the
+        packed (pose, uv, landmark-id, validity, position) vector is built on
+        device, async-copied, and consumed one frame later with that frame's
+        host image.  Loop-closure records therefore lag keyframes by one
+        frame, which place recognition is indifferent to; corrections are
+        world-frame re-anchors, valid whenever applied.  (Loop closure is the
+        reference's north-star TODO, CMakeLists:74-77.)
         """
         lc = self.loop_closer
-        if int(out.status) == int(FrontendStatus.LOST):
+        # 1. Consume a pending keyframe snapshot (transferred during the step
+        #    that was just dispatched).
+        if self._pending_snapshot is not None:
+            fid, img, vec = self._pending_snapshot
+            self._pending_snapshot = None
+            self._consume_snapshot(fid, img, vec)
+        # 2. Enqueue this frame's flags; consume the previous frame's.
+        out.status.copy_to_host_async()
+        out.kf_inserted.copy_to_host_async()
+        prev = self._hook_prev
+        self._hook_prev = (frame.frame_id, frame.left, out)
+        if prev is None:
+            return
+        prev_fid, _prev_img, prev_out = prev
+        if int(prev_out.status) == int(FrontendStatus.LOST):
+            self._pending_snapshot = None
             lc.reset()
             return
-        if not bool(out.kf_inserted):
+        if not bool(prev_out.kf_inserted):
             return
-        feats = self.carry.feats
-        sel = np.asarray(feats.valid & (feats.lm >= 0))
-        uv = np.asarray(feats.uv)[sel]
-        ids = np.asarray(feats.lm)[sel]
-        p_world = np.asarray(self.carry.wmap.lm_pos)[ids]
-        result = lc.add_keyframe(
-            frame.frame_id, np.asarray(frame.left), np.asarray(out.T_cw), uv, p_world
+        # 3. The previous frame inserted a keyframe: snapshot the CURRENT
+        #    frame's state (self-consistent: carry.feats, out.T_cw and
+        #    frame.left all describe this frame) and let it transfer while
+        #    the next step runs.
+        vec = self._pack_snapshot(self.carry, out.T_cw)
+        vec.copy_to_host_async()
+        self._pending_snapshot = (frame.frame_id, np.asarray(frame.left), vec)
+
+    def _consume_snapshot(self, frame_id: int, img: np.ndarray, vec) -> None:
+        M = self._snapshot_M
+        v = np.asarray(vec)
+        T_cw = v[:16].reshape(4, 4)
+        off = 16
+        uv = v[off:off + 2 * M].reshape(M, 2); off += 2 * M
+        off += M  # landmark ids (present for diagnostics; positions follow)
+        sel = v[off:off + M] > 0.5; off += M
+        p_world = v[off:off + 3 * M].reshape(M, 3)
+        result = self.loop_closer.add_keyframe(
+            frame_id, img, T_cw, uv[sel], p_world[sel]
         )
         if result is not None:
             _, G = result
@@ -559,6 +619,29 @@ class VisualOdometry:
                     wmap=self.async_backend.flush(self.carry.wmap)
                 )
             self.carry = self._apply_correction(self.carry, jnp.asarray(G, jnp.float32))
+
+    def _drain_hooks(self) -> None:
+        """End of stream: flush the one-frame hook pipeline synchronously."""
+        if self.loop_closer is None:
+            return
+        if self._pending_snapshot is not None:
+            fid, img, vec = self._pending_snapshot
+            self._pending_snapshot = None
+            self._consume_snapshot(fid, img, vec)
+        prev = self._hook_prev
+        self._hook_prev = None
+        if prev is None:
+            return
+        prev_fid, prev_img, prev_out = prev
+        # The final frame's flags were never consumed; a trailing keyframe
+        # (often the one that closes a loop at sequence end) snapshots from
+        # the final carry, which still describes that frame.
+        if int(prev_out.status) == int(FrontendStatus.LOST):
+            self.loop_closer.reset()
+            return
+        if bool(prev_out.kf_inserted):
+            vec = self._pack_snapshot(self.carry, prev_out.T_cw)
+            self._consume_snapshot(prev_fid, np.asarray(prev_img), vec)
 
     def _viewer_hook(self, frame: StereoFrame, out: FrameOutput) -> None:
         """Feed the live viewer stream: T_cw every frame, a feature overlay
@@ -627,7 +710,8 @@ class VisualOdometry:
     def save_checkpoint(self, path: str) -> None:
         from legoslam_tpu.utils import checkpoint
 
-        self.flush_ba()  # an in-flight solve is not serializable state
+        self.flush_ba()      # an in-flight solve is not serializable state
+        self._drain_hooks()  # nor is the one-frame loop-hook pipeline
         checkpoint.save_vo_checkpoint(path, self)
 
     def load_checkpoint(self, path: str) -> None:

@@ -172,6 +172,9 @@ def load_vo_checkpoint(path: str, vo) -> None:
             f"dataset {type(vo.dataset).__name__} cannot seek to frame "
             f"{next_index}; resume requires a seek() or current_index"
         )
-    # Any in-hand prefetched frame belongs to the pre-restore stream.
+    # Any in-hand prefetched frame belongs to the pre-restore stream, as
+    # does the one-frame loop-hook pipeline.
     vo._prefetched = None
     vo._pending_device_imgs = None
+    vo._hook_prev = None
+    vo._pending_snapshot = None

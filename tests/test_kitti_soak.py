@@ -19,8 +19,10 @@ import pytest
 from legoslam_tpu.pipeline.dataset import SyntheticPlanesDataset
 from tests.test_kitti_path import _write_png
 
-FULL_SHAPE = (192, 320)
-FOCAL = 320.0
+# KITTI-shaped: written full-res, ingested at half -> (188, 620), the
+# production shape the default config is tuned for (dataset.cpp:76).
+FULL_SHAPE = (376, 1240)
+FOCAL = 720.0
 BASELINE = 0.54
 N_FRAMES = 1000
 SPEED = 0.3
@@ -52,7 +54,7 @@ def soak_dir(tmp_path_factory):
     traj = _s_curve_trajectory()
     ds = SyntheticPlanesDataset(
         shape=FULL_SHAPE, focal=FOCAL, baseline=BASELINE,
-        half_width=18.0, length=N_FRAMES * SPEED + 40.0, z_min=-20.0,
+        half_width=12.0, length=N_FRAMES * SPEED + 60.0, z_min=-20.0,
         trajectory=traj,
         n_occluders=6, photometric_noise=1.5,
     )
