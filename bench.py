@@ -39,7 +39,11 @@ REFERENCE_VIEWER_FPS = 8.33      # viewer-paced reference loop (viewer.cpp:76-79
 REFERENCE_CPU_FPS_FALLBACK = 744.0  # measured here 2026-08-20 (ref_baseline.cpp)
 REF_CPU_CACHE = "/tmp/legoslam_ref_cpu.json"
 SHAPE = (188, 620)    # KITTI half resolution (dataset.cpp:76)
-N_FRAMES = 40
+# 160 frames: long enough that the one-dispatch scan program's fixed tunnel
+# overhead (~25-30 ms per call through the axon transport, PROFILE.md round 5)
+# amortizes below 0.2 ms/frame — at 40 frames that fixed cost was ~45% of the
+# measured scan time and the benchmark under-reported device throughput 2x.
+N_FRAMES = 160
 WARMUP = 4
 
 

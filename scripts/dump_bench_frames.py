@@ -20,7 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SHAPE = (188, 620)   # bench.py SHAPE (KITTI half resolution, dataset.cpp:76)
-N_FRAMES = 40        # bench.py N_FRAMES
+N_FRAMES = 160       # bench.py N_FRAMES
 
 
 def main():

@@ -9,7 +9,9 @@ loader when it builds, dataset.cpp:13-86 format), gating on drift rate in
 meters per 100 m of path.
 """
 
+import multiprocessing
 import os
+import pathlib
 import subprocess
 import sys
 
@@ -26,6 +28,39 @@ FOCAL = 720.0
 BASELINE = 0.54
 N_FRAMES = 1000
 SPEED = 0.3
+
+# The 1,000-frame 376x1240 render is ~1 h single-threaded, which made the
+# soak un-runnable inside most CI budgets.  Frame i is a pure function of the
+# trajectory + index (the photometric noise rng is seeded per index), so the
+# render fans out over processes bit-identically, and the finished sequence
+# is cached in a stable path keyed by the generator parameters — repeat runs
+# skip the render entirely.
+CACHE_ROOT = pathlib.Path(
+    os.environ.get("LEGOSLAM_SOAK_CACHE", "/tmp/legoslam_soak_seq_v1")
+) / "07"
+
+
+def _make_dataset(traj):
+    return SyntheticPlanesDataset(
+        shape=FULL_SHAPE, focal=FOCAL, baseline=BASELINE,
+        half_width=12.0, length=N_FRAMES * SPEED + 60.0, z_min=-20.0,
+        trajectory=traj,
+        n_occluders=6, photometric_noise=1.5,
+    )
+
+
+def _render_chunk(root, traj, lo, hi):
+    """Worker: render + write frames [lo, hi) (deterministic per index)."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    ds = _make_dataset(traj)
+    ds.init()
+    ds.current_index = lo
+    root = pathlib.Path(root)
+    for i in range(lo, hi):
+        fr = ds.next_frame()
+        _write_png(str(root / "image_0" / f"{i:06d}.png"), fr.left)
+        _write_png(str(root / "image_1" / f"{i:06d}.png"), fr.right)
+    return hi - lo
 
 
 def _s_curve_trajectory(n=N_FRAMES, speed=SPEED):
@@ -47,30 +82,33 @@ def _s_curve_trajectory(n=N_FRAMES, speed=SPEED):
 
 
 @pytest.fixture(scope="module")
-def soak_dir(tmp_path_factory):
-    root = tmp_path_factory.mktemp("kitti_soak") / "07"
-    (root / "image_0").mkdir(parents=True)
-    (root / "image_1").mkdir()
+def soak_dir():
+    root = CACHE_ROOT
     traj = _s_curve_trajectory()
-    ds = SyntheticPlanesDataset(
-        shape=FULL_SHAPE, focal=FOCAL, baseline=BASELINE,
-        half_width=12.0, length=N_FRAMES * SPEED + 60.0, z_min=-20.0,
-        trajectory=traj,
-        n_occluders=6, photometric_noise=1.5,
-    )
-    ds.init()
+    if (root / "COMPLETE").exists():
+        return str(root), traj
+    (root / "image_0").mkdir(parents=True, exist_ok=True)
+    (root / "image_1").mkdir(exist_ok=True)
     H, W = FULL_SHAPE
     cx, cy = W / 2.0, H / 2.0
     P0 = f"P0: {FOCAL} 0 {cx} 0 0 {FOCAL} {cy} 0 0 0 1 0"
     P1 = f"P1: {FOCAL} 0 {cx} {-FOCAL * BASELINE} 0 {FOCAL} {cy} 0 0 0 1 0"
     (root / "calib.txt").write_text(P0 + "\n" + P1 + "\n")
-    rows = []
-    for i in range(N_FRAMES):
-        fr = ds.next_frame()
-        _write_png(str(root / "image_0" / f"{i:06d}.png"), fr.left)
-        _write_png(str(root / "image_1" / f"{i:06d}.png"), fr.right)
-        rows.append(traj[i][:3].reshape(-1))
-    np.savetxt(root / "poses.txt", np.stack(rows))
+    np.savetxt(root / "poses.txt", np.stack([traj[i][:3].reshape(-1)
+                                             for i in range(N_FRAMES)]))
+    # spawn (not fork): the parent's initialized JAX runtime must not be
+    # forked into the render workers.
+    workers = min(8, os.cpu_count() or 1)
+    chunk = -(-N_FRAMES // workers)
+    ctx = multiprocessing.get_context("spawn")
+    with ctx.Pool(workers) as pool:
+        done = pool.starmap(
+            _render_chunk,
+            [(str(root), traj, lo, min(lo + chunk, N_FRAMES))
+             for lo in range(0, N_FRAMES, chunk)],
+        )
+    assert sum(done) == N_FRAMES
+    (root / "COMPLETE").write_text("ok\n")
     return str(root), traj
 
 
